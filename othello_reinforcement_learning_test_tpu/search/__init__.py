@@ -1,0 +1,21 @@
+from .mcts import (
+    SearchResult,
+    Tree,
+    action_evaluations,
+    action_probs_from_counts,
+    add_dirichlet_noise,
+    best_action,
+    masked_probs,
+    search,
+)
+
+__all__ = [
+    "SearchResult",
+    "Tree",
+    "action_evaluations",
+    "action_probs_from_counts",
+    "add_dirichlet_noise",
+    "best_action",
+    "masked_probs",
+    "search",
+]
