@@ -1,0 +1,174 @@
+"""Fully on-device batched self-play.
+
+Replaces both reference self-play paths — the sequential per-game worker
+(``/root/reference/src/train/self_play.py``) and the lockstep
+"parallel" worker with batched GPU inference
+(``src/train/parallel_self_play.py:218-407``) — with ONE jitted program that
+steps N games in lockstep: every move runs the batched array-tree MCTS
+(one network call per simulation for all games), samples actions with the
+temperature schedule, records (board, pi, parity) per ply, and on completion
+assigns game outcomes to every step.
+
+Semantics per reference:
+- temperature 1.0 while ``move_count < temperature_threshold`` else 0.0
+  (self_play.py:86-87); stochastic sampling vs argmax (self_play.py:107-113).
+- recorded training policy is the temperature-1.0 visit distribution, like
+  the reference's parallel worker (parallel_self_play.py:366-382; its
+  sequential worker stores the temp-adjusted distribution — SURVEY.md §7
+  quirk #5; we standardize on the canonical visit distribution).
+- step value = final winner from that step's mover perspective. We compute
+  the parity correctly from the terminal side to move (the reference assumes
+  the terminal mover is Black and sign-flips odd-parity games — quirk #1;
+  divergence documented).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.bitboard import OthelloEngine
+from ..search import mcts
+
+
+class Trajectory(NamedTuple):
+    """Self-play results, (B, T, ...) arrays; ``mask`` marks real plies."""
+
+    me: jnp.ndarray  # (B, T, 2) uint32 — board of the side to move
+    opp: jnp.ndarray  # (B, T, 2) uint32
+    pi: jnp.ndarray  # (B, T, A) float32 — MCTS visit distribution
+    value: jnp.ndarray  # (B, T) float32 — outcome from the mover's view
+    mask: jnp.ndarray  # (B, T) bool
+    final_me_count: jnp.ndarray  # (B,) int32
+    final_opp_count: jnp.ndarray  # (B,) int32
+    winner_black: jnp.ndarray  # (B,) int32 — +1 black wins / -1 white / 0 draw
+    num_moves: jnp.ndarray  # (B,) int32
+
+
+def max_game_length(size: int) -> int:
+    """Static ply cap: every placement may be preceded by a pass, plus the
+    closing double-pass."""
+    return 2 * size * size + 4
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "engine",
+        "apply_fn",
+        "num_games",
+        "num_simulations",
+        "temperature_threshold",
+        "add_noise",
+    ),
+)
+def play_games(
+    engine: OthelloEngine,
+    apply_fn,
+    variables,
+    rng: jax.Array,
+    num_games: int,
+    num_simulations: int,
+    c_puct: float = 1.0,
+    dirichlet_alpha: float = 0.3,
+    dirichlet_epsilon: float = 0.25,
+    temperature_threshold: int = 15,
+    add_noise: bool = True,
+) -> Trajectory:
+    """Play ``num_games`` complete games in lockstep; fully jitted.
+
+    ``apply_fn(variables, x) -> (log_probs, value)`` must be a stable
+    (hashable) function — e.g. a module-level wrapper over ``model.apply`` —
+    so jit caches across calls while ``variables`` stays a traced pytree.
+    """
+    B = num_games
+    net = lambda x: apply_fn(variables, x)  # noqa: E731
+    T = max_game_length(engine.size)
+    A = engine.num_actions
+
+    boards0 = engine.initial_state((B,))
+    traj_me = jnp.zeros((B, T, 2), jnp.uint32)
+    traj_opp = jnp.zeros((B, T, 2), jnp.uint32)
+    traj_pi = jnp.zeros((B, T, A), jnp.float32)
+    traj_parity = jnp.zeros((B, T), jnp.int32)
+    traj_mask = jnp.zeros((B, T), jnp.bool_)
+
+    def cond(carry):
+        boards, _, _, _, _, _, _, t = carry
+        return (~engine.is_terminal(boards)).any() & (t < T)
+
+    def body(carry):
+        boards, rng, t_me, t_opp, t_pi, t_par, t_mask, t = carry
+        rng, k_search, k_act = jax.random.split(rng, 3)
+        live = ~engine.is_terminal(boards)
+
+        res = mcts.search(
+            engine,
+            net,
+            boards,
+            k_search,
+            num_simulations=num_simulations,
+            c_puct=c_puct,
+            dirichlet_alpha=dirichlet_alpha,
+            dirichlet_epsilon=dirichlet_epsilon,
+            add_noise=add_noise,
+        )
+        # canonical training target: visit distribution (temperature 1)
+        pi = mcts.action_probs_from_counts(res.visit_counts, res.legal, 1.0)
+        # action temperature schedule
+        temp = jnp.where(
+            boards.move_count < temperature_threshold, 1.0, 0.0
+        ).astype(jnp.float32)
+        act_probs = mcts.action_probs_from_counts(res.visit_counts, res.legal, temp)
+        action = jax.random.categorical(
+            k_act, jnp.log(act_probs + 1e-12), axis=-1
+        ).astype(jnp.int32)
+
+        lv = live[:, None]
+        t_me = t_me.at[:, t].set(jnp.where(lv, boards.me, 0))
+        t_opp = t_opp.at[:, t].set(jnp.where(lv, boards.opp, 0))
+        t_pi = t_pi.at[:, t].set(jnp.where(lv, pi, 0.0))
+        t_par = t_par.at[:, t].set(jnp.where(live, boards.move_count % 2, 0))
+        t_mask = t_mask.at[:, t].set(live)
+
+        nxt, _ = engine.step(boards, action)
+        boards = jax.tree.map(
+            lambda n, o: jnp.where(
+                live.reshape(live.shape + (1,) * (n.ndim - live.ndim)), n, o
+            ),
+            nxt,
+            boards,
+        )
+        return boards, rng, t_me, t_opp, t_pi, t_par, t_mask, t + 1
+
+    boards, _, t_me, t_opp, t_pi, t_par, t_mask, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (boards0, rng, traj_me, traj_opp, traj_pi, traj_parity, traj_mask, 0),
+    )
+
+    # outcome assignment: winner from final side-to-move, re-expressed per step
+    w_final = engine.winner(boards)  # (B,) from final mover's perspective
+    final_parity = boards.move_count % 2
+    same_parity = (t_par == final_parity[:, None]).astype(jnp.float32)
+    value = w_final[:, None].astype(jnp.float32) * (2.0 * same_parity - 1.0)
+    value = jnp.where(t_mask, value, 0.0)
+
+    c_me, c_opp = engine.stone_counts(boards)
+    # black == the side whose parity is 0 at the end
+    winner_black = jnp.where(final_parity == 0, w_final, -w_final)
+
+    return Trajectory(
+        me=t_me,
+        opp=t_opp,
+        pi=t_pi,
+        value=value,
+        mask=t_mask,
+        final_me_count=c_me,
+        final_opp_count=c_opp,
+        winner_black=winner_black,
+        num_moves=boards.move_count,
+    )

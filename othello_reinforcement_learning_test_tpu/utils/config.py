@@ -1,0 +1,109 @@
+"""YAML config loading with validation.
+
+Reference-compatible: the same section names and keys as the reference's
+``configs/*.yaml`` (game/model/training/mcts/self_play/paths/system —
+``/root/reference/main.py:22-34``) load unchanged. Unlike the reference
+(plain ``yaml.safe_load`` with ``dict.get`` defaults scattered at use sites
+and several silently-unread keys — SURVEY.md §5), unknown keys produce
+warnings and values are type-checked.
+"""
+
+from __future__ import annotations
+
+import copy
+import warnings
+from typing import Any, Dict, Optional
+
+import yaml
+
+DEFAULTS: Dict[str, Dict[str, Any]] = {
+    "game": {"size": 8, "rules": "reference"},
+    "model": {"num_blocks": 10, "num_filters": 128, "board_size": 8},
+    "training": {
+        "batch_size": 256,
+        "lr": 0.001,
+        "lr_step_size": 100,
+        "lr_gamma": 0.1,
+        "weight_decay": 0.0001,
+        "momentum": 0.9,
+        "num_iterations": 1000,
+        "self_play_episodes_per_iter": 100,
+        "train_epochs_per_iter": 10,
+        "checkpoint_interval": 10,
+        "replay_buffer_size": 100_000,
+        "augment_symmetries": False,
+    },
+    "mcts": {
+        "num_simulations": 25,
+        "num_simulations_eval": 50,
+        "c_puct": 1.0,
+        "dirichlet_alpha": 0.3,
+        "dirichlet_epsilon": 0.25,
+    },
+    "self_play": {
+        "temperature_threshold": 15,
+        # reference-compat: lockstep game batching knob (parallel_self_play
+        # chosen when >1, main.py:111-115). Here all self-play is batched;
+        # this key only overrides episodes-per-batch if set.
+        "num_parallel_games": None,
+    },
+    "paths": {
+        "checkpoint_dir": "data/models",
+        "log_dir": "data/logs",
+        "data_dir": "data",
+    },
+    "system": {
+        "device": "auto",
+        "seed": 42,
+        "use_mixed_precision": True,
+        # multi-chip: name of the data-parallel mesh axis and #devices
+        # (None = all visible devices)
+        "mesh_devices": None,
+    },
+}
+
+
+def load_config(path: Optional[str] = None) -> Dict:
+    """Load a YAML config merged over defaults; validates section/key names."""
+    cfg = copy.deepcopy(DEFAULTS)
+    if path is None:
+        return cfg
+    with open(path) as f:
+        user = yaml.safe_load(f) or {}
+    for section, values in user.items():
+        if section not in cfg:
+            warnings.warn(f"config: unknown section '{section}' (ignored)")
+            continue
+        if not isinstance(values, dict):
+            warnings.warn(f"config: section '{section}' is not a mapping")
+            continue
+        for key, value in values.items():
+            if key not in cfg[section]:
+                warnings.warn(f"config: unknown key '{section}.{key}' (kept)")
+            cfg[section][key] = value
+    # keep model.board_size consistent with game.size unless explicitly set
+    if "model" not in user or "board_size" not in user.get("model", {}):
+        cfg["model"]["board_size"] = cfg["game"]["size"]
+    _validate(cfg)
+    return cfg
+
+
+def _validate(cfg: Dict) -> None:
+    t = cfg["training"]
+    for key in ("batch_size", "num_iterations", "self_play_episodes_per_iter",
+                "train_epochs_per_iter", "checkpoint_interval",
+                "replay_buffer_size"):
+        if int(t[key]) <= 0:
+            raise ValueError(f"training.{key} must be positive, got {t[key]}")
+    if not (0.0 < float(t["lr"])):
+        raise ValueError("training.lr must be > 0")
+    m = cfg["mcts"]
+    if int(m["num_simulations"]) <= 0:
+        raise ValueError("mcts.num_simulations must be positive")
+    if not (0.0 <= float(m["dirichlet_epsilon"]) <= 1.0):
+        raise ValueError("mcts.dirichlet_epsilon must be in [0, 1]")
+    g = cfg["game"]
+    if int(g["size"]) not in (4, 6, 8):
+        raise ValueError("game.size must be 4, 6 or 8")
+    if g.get("rules", "reference") not in ("reference", "standard"):
+        raise ValueError("game.rules must be 'reference' or 'standard'")

@@ -1,0 +1,227 @@
+"""Training-system tests: buffer units, self-play data contract, train step,
+and a 1-iteration end-to-end loop with checkpoint+resume
+(mirrors reference tests/test_train.py coverage, SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from othello_reinforcement_learning_test_tpu.models import OthelloResNet, init_variables
+from othello_reinforcement_learning_test_tpu.ops.bitboard import get_engine
+from othello_reinforcement_learning_test_tpu.train import (
+    AlphaZeroTrainer,
+    apply_eval,
+    buffer as buffer_lib,
+    checkpoint as ckpt_lib,
+    play_games,
+)
+from othello_reinforcement_learning_test_tpu.train.self_play import Trajectory
+from othello_reinforcement_learning_test_tpu.utils import load_config
+
+
+def make_traj(n_steps, n_slots=6, A=65, value=0.5):
+    mask = jnp.arange(n_slots) < n_steps
+    return Trajectory(
+        me=jnp.ones((1, n_slots, 2), jnp.uint32),
+        opp=jnp.zeros((1, n_slots, 2), jnp.uint32),
+        pi=jnp.full((1, n_slots, A), 1.0 / A, jnp.float32),
+        value=jnp.where(mask, value, 0.0)[None].astype(jnp.float32),
+        mask=mask[None],
+        final_me_count=jnp.array([3]),
+        final_opp_count=jnp.array([1]),
+        winner_black=jnp.array([1]),
+        num_moves=jnp.array([n_steps]),
+    )
+
+
+class TestBuffer:
+    def test_add_and_sample_shapes(self):
+        eng = get_engine(8)
+        buf = buffer_lib.create(32, 65)
+        buf = buffer_lib.add(buf, make_traj(4))
+        assert int(buf.filled) == 4 and int(buf.cursor) == 4
+        feats, pi, v = buffer_lib.sample(buf, jax.random.PRNGKey(0), eng, 8)
+        assert feats.shape == (8, 8, 8, 3)
+        assert pi.shape == (8, 65) and v.shape == (8, 1)
+
+    def test_ring_overflow(self):
+        buf = buffer_lib.create(10, 65)
+        for _ in range(4):
+            buf = buffer_lib.add(buf, make_traj(4))
+        assert int(buf.filled) == 10
+        assert int(buf.total_added) == 16
+        assert int(buf.cursor) == 6
+
+    def test_is_ready(self):
+        buf = buffer_lib.create(32, 65)
+        assert not buffer_lib.is_ready(buf, 1)
+        buf = buffer_lib.add(buf, make_traj(4))
+        assert buffer_lib.is_ready(buf, 4)
+        assert not buffer_lib.is_ready(buf, 5)
+
+    def test_statistics(self):
+        buf = buffer_lib.create(16, 65)
+        buf = buffer_lib.add(buf, make_traj(4, value=1.0))
+        stats = jax.device_get(buffer_lib.statistics(buf))
+        assert stats["size"] == 4
+        np.testing.assert_allclose(stats["value_mean"], 1.0)
+        np.testing.assert_allclose(stats["value_std"], 0.0, atol=1e-6)
+        np.testing.assert_allclose(stats["fill_rate"], 4 / 16)
+
+
+class TestSelfPlay:
+    @pytest.fixture(scope="class")
+    def traj(self):
+        eng = get_engine(8)
+        model = OthelloResNet(num_blocks=1, num_filters=8)
+        variables = init_variables(model, jax.random.PRNGKey(0))
+        return play_games(
+            eng,
+            apply_eval(model),
+            variables,
+            jax.random.PRNGKey(1),
+            num_games=4,
+            num_simulations=4,
+            temperature_threshold=10,
+        )
+
+    def test_games_complete(self, traj):
+        n = np.asarray(traj.num_moves)
+        assert (n >= 58).all() and (n <= 132).all()
+        np.testing.assert_array_equal(np.asarray(traj.mask).sum(1), n)
+
+    def test_policy_targets(self, traj):
+        pi = np.asarray(traj.pi)
+        mask = np.asarray(traj.mask)
+        sums = pi.sum(-1)
+        np.testing.assert_allclose(sums[mask], 1.0, rtol=1e-4)
+        np.testing.assert_allclose(sums[~mask], 0.0, atol=1e-8)
+
+    def test_values_consistent(self, traj):
+        """Step values are ±winner alternating with mover parity, 0 on draws
+        (correct-parity version of reference self_play.py:119-133)."""
+        v = np.asarray(traj.value)
+        mask = np.asarray(traj.mask)
+        assert set(np.unique(v[mask])).issubset({-1.0, 0.0, 1.0})
+        c_me = np.asarray(traj.final_me_count)
+        c_opp = np.asarray(traj.final_opp_count)
+        n = np.asarray(traj.num_moves)
+        wb = np.asarray(traj.winner_black)
+        for g in range(v.shape[0]):
+            # black = parity-0 mover; check its recorded value sign
+            final_me_is_black = n[g] % 2 == 0
+            black_count = c_me[g] if final_me_is_black else c_opp[g]
+            white_count = c_opp[g] if final_me_is_black else c_me[g]
+            expect_black = np.sign(black_count - white_count)
+            assert wb[g] == expect_black
+            steps = np.where(mask[g])[0]
+            for t in steps:
+                mover_is_black = t % 2 == 0  # parity tracks move_count
+                expect = expect_black if mover_is_black else -expect_black
+                assert v[g, t] == expect, (g, t)
+
+
+class TestEndToEnd:
+    def test_one_iteration_train_and_resume(self, tmp_path):
+        cfg = load_config(os.path.join(os.path.dirname(__file__), "..", "configs", "test.yaml"))
+        cfg["training"]["self_play_episodes_per_iter"] = 2
+        cfg["training"]["num_iterations"] = 1
+        cfg["model"]["num_blocks"] = 1
+        cfg["model"]["num_filters"] = 8
+        cfg["mcts"]["num_simulations"] = 4
+        cfg["paths"]["checkpoint_dir"] = str(tmp_path / "models")
+        cfg["paths"]["log_dir"] = str(tmp_path / "logs")
+
+        trainer = AlphaZeroTrainer(cfg, log_cb=None)
+        metrics = trainer.train()
+        assert metrics["Loss/train"] > 0
+        assert os.path.isdir(os.path.join(trainer.checkpoint_dir, "final_model"))
+        assert os.path.isdir(
+            os.path.join(trainer.checkpoint_dir, "checkpoint_iter_000001")
+        )
+        # metrics stream exists
+        assert os.path.exists(os.path.join(trainer.log_dir, "metrics.jsonl"))
+
+        # resume restores iteration and params exactly
+        trainer2 = AlphaZeroTrainer(cfg, log_cb=None)
+        trainer2.load_checkpoint(os.path.join(trainer.checkpoint_dir, "final_model"))
+        assert int(trainer2.state.iteration) == 1
+        for a, b in zip(
+            jax.tree.leaves(trainer.state.params),
+            jax.tree.leaves(trainer2.state.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # config sidecar exists and round-trips
+        side = ckpt_lib.load_config(
+            os.path.join(trainer.checkpoint_dir, "final_model")
+        )
+        assert side["model"]["num_blocks"] == 1
+
+    def test_train_step_decreases_loss_on_fixed_batch(self):
+        """Optimization sanity: repeated steps on one buffer lower the loss."""
+        from othello_reinforcement_learning_test_tpu.train.trainer import (
+            TrainState,
+            make_optimizer,
+            train_step,
+        )
+
+        eng = get_engine(8)
+        model = OthelloResNet(num_blocks=1, num_filters=8)
+        variables = init_variables(model, jax.random.PRNGKey(0))
+        cfg = {"training": {"lr": 0.05, "train_epochs_per_iter": 1}}
+        tx = make_optimizer(cfg)
+        state = TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=tx.init(variables["params"]),
+            step=jnp.int32(0),
+            iteration=jnp.int32(0),
+        )
+        buf = buffer_lib.create(64, 65)
+        buf = buffer_lib.add(buf, make_traj(6, n_slots=8, value=1.0))
+        losses = []
+        for i in range(12):
+            state, m = train_step(
+                model, eng, tx, state, buf, jax.random.PRNGKey(5), batch_size=8
+            )
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+
+
+def test_lr_schedule_staircase():
+    from othello_reinforcement_learning_test_tpu.train.trainer import make_lr_schedule
+
+    sched = make_lr_schedule(
+        {"training": {"lr": 0.1, "lr_gamma": 0.1, "lr_step_size": 2,
+                      "train_epochs_per_iter": 3}}
+    )
+    np.testing.assert_allclose(float(sched(0)), 0.1)
+    np.testing.assert_allclose(float(sched(5)), 0.1)
+    np.testing.assert_allclose(float(sched(6)), 0.01, rtol=1e-6)
+
+
+def test_config_loader_warns_unknown(tmp_path):
+    import warnings
+
+    p = tmp_path / "c.yaml"
+    p.write_text("training:\n  bogus_key: 1\nnosection:\n  a: 2\n")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg = load_config(str(p))
+    msgs = " ".join(str(x.message) for x in w)
+    assert "bogus_key" in msgs and "nosection" in msgs
+    assert cfg["training"]["batch_size"] == 256  # defaults intact
+
+
+def test_config_validation_rejects_bad():
+    import copy
+
+    from othello_reinforcement_learning_test_tpu.utils.config import DEFAULTS, _validate
+
+    bad = copy.deepcopy(DEFAULTS)
+    bad["training"]["batch_size"] = 0
+    with pytest.raises(ValueError):
+        _validate(bad)
