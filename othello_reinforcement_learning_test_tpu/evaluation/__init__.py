@@ -1,0 +1,22 @@
+from .arena import Arena, MatchResult, MatchSummary, evaluate_player
+from .players import (
+    EdaxPlayer,
+    GreedyPlayer,
+    HumanPlayer,
+    MCTSPlayer,
+    Player,
+    RandomPlayer,
+)
+
+__all__ = [
+    "Arena",
+    "EdaxPlayer",
+    "GreedyPlayer",
+    "HumanPlayer",
+    "MCTSPlayer",
+    "MatchResult",
+    "MatchSummary",
+    "Player",
+    "RandomPlayer",
+    "evaluate_player",
+]

@@ -1,0 +1,178 @@
+"""Batched evaluation arena.
+
+Counterpart of the reference ``Arena`` (``/root/reference/src/eval/arena.py``)
+redesigned batch-first: all N games of a match run in lockstep inside one
+jitted loop, colors alternating by game index (reference arena.py:164-202).
+Both players act every step; the mover's action is selected by parity, so the
+whole match is a single XLA program.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.bitboard import OthelloEngine
+from ..train.self_play import max_game_length
+from .players import Player
+
+
+@dataclass
+class MatchResult:
+    """Single-game record (reference arena.py:14-51)."""
+
+    player1: str
+    player2: str
+    winner: int  # 1 = player1, -1 = player2, 0 = draw
+    player1_score: int
+    player2_score: int
+    num_moves: int
+    duration: float
+    player1_color: str  # "black" | "white"
+
+
+@dataclass
+class MatchSummary:
+    player1: str
+    player2: str
+    wins: int
+    losses: int
+    draws: int
+    win_rate: float
+    avg_score: float
+    avg_moves: float
+    duration: float
+    results: List[MatchResult] = field(default_factory=list)
+
+
+class Arena:
+    """Plays batched matches between two players (reference arena.py:54-232)."""
+
+    def __init__(self, engine: OthelloEngine, verbose: bool = False):
+        self.engine = engine
+        self.verbose = verbose
+
+    def play_matches(
+        self, player1: Player, player2: Player, num_games: int, rng: jax.Array
+    ) -> MatchSummary:
+        eng = self.engine
+        T = max_game_length(eng.size)
+        t0 = time.time()
+
+        # player1 takes black on even game indices (reference arena.py:174-178)
+        p1_black = (jnp.arange(num_games) % 2) == 0
+
+        def match(rng):
+            boards = eng.initial_state((num_games,))
+
+            def cond(carry):
+                boards, rng, t = carry
+                return (~eng.is_terminal(boards)).any() & (t < T)
+
+            def body(carry):
+                boards, rng, t = carry
+                rng, k1, k2 = jax.random.split(rng, 3)
+                a1 = player1.act(k1, boards)
+                a2 = player2.act(k2, boards)
+                mover_black = boards.move_count % 2 == 0
+                p1_to_move = mover_black == p1_black
+                action = jnp.where(p1_to_move, a1, a2)
+                live = ~eng.is_terminal(boards)
+                nxt, _ = eng.step(boards, action)
+                boards = jax.tree.map(
+                    lambda n, o: jnp.where(
+                        live.reshape(live.shape + (1,) * (n.ndim - live.ndim)), n, o
+                    ),
+                    nxt,
+                    boards,
+                )
+                return boards, rng, t + 1
+
+            boards, _, t = jax.lax.while_loop(cond, body, (boards, rng, 0))
+            w_mover = eng.winner(boards)  # from final side-to-move
+            final_parity = boards.move_count % 2
+            w_black = jnp.where(final_parity == 0, w_mover, -w_mover)
+            w_p1 = jnp.where(p1_black, w_black, -w_black)
+            c_me, c_opp = eng.stone_counts(boards)
+            black_count = jnp.where(final_parity == 0, c_me, c_opp)
+            white_count = jnp.where(final_parity == 0, c_opp, c_me)
+            p1_score = jnp.where(p1_black, black_count, white_count)
+            p2_score = jnp.where(p1_black, white_count, black_count)
+            return w_p1, p1_score, p2_score, boards.move_count
+
+        w_p1, p1_score, p2_score, moves = jax.jit(match)(rng)
+        w_p1, p1_score, p2_score, moves = jax.device_get(
+            (w_p1, p1_score, p2_score, moves)
+        )
+        duration = time.time() - t0
+
+        results = [
+            MatchResult(
+                player1=player1.name,
+                player2=player2.name,
+                winner=int(w_p1[i]),
+                player1_score=int(p1_score[i]),
+                player2_score=int(p2_score[i]),
+                num_moves=int(moves[i]),
+                duration=duration / num_games,
+                player1_color="black" if i % 2 == 0 else "white",
+            )
+            for i in range(num_games)
+        ]
+        wins = int((w_p1 == 1).sum())
+        losses = int((w_p1 == -1).sum())
+        draws = int((w_p1 == 0).sum())
+        summary = MatchSummary(
+            player1=player1.name,
+            player2=player2.name,
+            wins=wins,
+            losses=losses,
+            draws=draws,
+            win_rate=wins / num_games,
+            avg_score=float(np.mean(p1_score)),
+            avg_moves=float(np.mean(moves)),
+            duration=duration,
+            results=results,
+        )
+        if self.verbose:
+            self._print_summary(summary)
+        return summary
+
+    @staticmethod
+    def _print_summary(s: MatchSummary) -> None:
+        print(
+            f"{s.player1} vs {s.player2}: {s.wins}W-{s.losses}L-{s.draws}D "
+            f"({s.win_rate:.1%}), avg score {s.avg_score:.1f}, "
+            f"avg moves {s.avg_moves:.1f}, {s.duration:.1f}s"
+        )
+
+
+def evaluate_player(
+    player: Player,
+    opponent: Player,
+    engine: OthelloEngine,
+    num_games: int = 20,
+    rng: jax.Array = None,
+    verbose: bool = False,
+) -> Dict:
+    """Match + dict contract like the reference ``evaluate_player``
+    (arena.py:235-271)."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    arena = Arena(engine, verbose=verbose)
+    s = arena.play_matches(player, opponent, num_games, rng)
+    return {
+        "opponent": opponent.name,
+        "num_games": num_games,
+        "wins": s.wins,
+        "losses": s.losses,
+        "draws": s.draws,
+        "win_rate": s.win_rate,
+        "avg_score": s.avg_score,
+        "avg_moves": s.avg_moves,
+        "results": s.results,
+    }
