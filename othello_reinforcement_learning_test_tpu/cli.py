@@ -1,0 +1,213 @@
+"""Command-line interface: ``train`` / ``eval`` / ``play``.
+
+Same surface as the reference CLI (``/root/reference/main.py:273-336``) with
+the same flags; differences (documented):
+
+- ``train --resume`` actually resumes from a checkpoint (the reference's
+  ``load_checkpoint`` is never wired, SURVEY.md §5).
+- ``play`` is implemented (human vs AI in the terminal) — a stub in the
+  reference (main.py:262-270).
+- device selection is JAX-native: TPU/GPU/CPU chosen by the runtime;
+  ``system.device: cpu`` forces host CPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from datetime import datetime
+from typing import Optional
+
+import jax
+
+
+def _maybe_force_cpu(device: str) -> None:
+    if device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+
+def set_seed(seed: int) -> jax.Array:
+    """Deterministic root key (the reference seeds torch/np/cuda,
+    main.py:62-72; JAX is functional so the key is the seed)."""
+    import numpy as np
+    import random
+
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def train_command(args) -> None:
+    from .train.trainer import AlphaZeroTrainer
+    from .train import checkpoint as ckpt_lib
+    from .utils import load_config
+
+    config = load_config(args.config)
+    _maybe_force_cpu(config["system"].get("device", "auto"))
+    print("=" * 70)
+    print("AlphaZero Training (TPU-native)")
+    print("=" * 70)
+    print(f"config: {args.config}")
+    print(f"devices: {jax.devices()}")
+
+    trainer = AlphaZeroTrainer(config)
+    if args.resume:
+        path = args.resume
+        if path == "latest":
+            path = ckpt_lib.latest_checkpoint(trainer.checkpoint_dir)
+            if path is None:
+                raise SystemExit("--resume latest: no checkpoint found")
+        trainer.load_checkpoint(path)
+    t0 = time.time()
+    trainer.train()
+    print(f"training done in {time.time() - t0:.1f}s")
+
+
+def eval_command(args) -> None:
+    from .evaluation import GreedyPlayer, MCTSPlayer, RandomPlayer, evaluate_player
+
+    print("=" * 70)
+    print("Model Evaluation")
+    print("=" * 70)
+    print(f"checkpoint: {args.checkpoint}")
+    print(f"games per opponent: {args.games}; simulations: {args.simulations}")
+
+    player = MCTSPlayer.from_checkpoint(
+        args.checkpoint, num_simulations=args.simulations
+    )
+    engine = player.engine
+    rng = set_seed(args.seed)
+
+    opponents = [RandomPlayer(engine), GreedyPlayer(engine)]
+    results_summary = {}
+    for opponent in opponents:
+        rng, sub = jax.random.split(rng)
+        out = evaluate_player(
+            player, opponent, engine, num_games=args.games, rng=sub,
+            verbose=args.verbose,
+        )
+        results_summary[opponent.name] = {
+            "win_rate": out["win_rate"],
+            "avg_score": out["avg_score"],
+            "avg_moves": out["avg_moves"],
+            "wins": out["wins"],
+            "losses": out["losses"],
+            "draws": out["draws"],
+        }
+        print(
+            f"vs {opponent.name:8s}: {out['win_rate'] * 100:5.1f}% win rate "
+            f"({out['wins']}W-{out['losses']}L-{out['draws']}D), "
+            f"avg score {out['avg_score']:.1f}, avg moves {out['avg_moves']:.1f}"
+        )
+
+    if args.save_results:
+        out_dir = "data/eval"
+        os.makedirs(out_dir, exist_ok=True)
+        stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+        path = os.path.join(out_dir, f"eval_{stamp}.json")
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "checkpoint": args.checkpoint,
+                    "timestamp": datetime.now().isoformat(),
+                    "mcts_simulations": args.simulations,
+                    "games_per_opponent": args.games,
+                    "results": results_summary,
+                },
+                f,
+                indent=2,
+            )
+        print(f"results saved to {path}")
+
+
+def play_command(args) -> None:
+    """Human vs AI in the terminal (implemented; reference stub main.py:262-270)."""
+    import numpy as np
+
+    from .evaluation import HumanPlayer, MCTSPlayer
+    from .search import mcts as mcts_lib
+
+    player_ai = MCTSPlayer.from_checkpoint(
+        args.checkpoint, num_simulations=args.simulations
+    )
+    engine = player_ai.engine
+    human = HumanPlayer(engine)
+    rng = set_seed(args.seed)
+
+    human_is_black = args.color != "white"
+    boards = engine.initial_state((1,))
+    print("you are", "black ●" if human_is_black else "white ○")
+    while not bool(engine.is_terminal(boards)[0]):
+        mover_black = int(boards.move_count[0]) % 2 == 0
+        print()
+        print(engine.to_string(jax.tree.map(lambda x: x[0], boards)))
+        c_me, c_opp = engine.stone_counts(boards)
+        black = int(c_me[0]) if mover_black else int(c_opp[0])
+        white = int(c_opp[0]) if mover_black else int(c_me[0])
+        print(f"● {black} - ○ {white}   ({'●' if mover_black else '○'} to move)")
+        rng, sub = jax.random.split(rng)
+        if mover_black == human_is_black:
+            action = human.act(sub, boards)
+        else:
+            action = player_ai.act(sub, boards)
+            a = int(action[0])
+            if a == engine.pass_action:
+                print("AI passes")
+            else:
+                print(f"AI plays {a} ({a // engine.size},{a % engine.size})")
+        boards, ok = engine.step(boards, action)
+        if not bool(ok[0]):
+            print("(move rejected)")
+    print()
+    print(engine.to_string(jax.tree.map(lambda x: x[0], boards)))
+    mover_black = int(boards.move_count[0]) % 2 == 0
+    w = int(engine.winner(boards)[0])
+    w_black = w if mover_black else -w
+    outcome = "draw" if w_black == 0 else ("black ● wins" if w_black > 0 else "white ○ wins")
+    print(f"game over: {outcome}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Othello AlphaZero (TPU) - CLI")
+    sub = parser.add_subparsers(dest="command", help="Commands")
+
+    p_train = sub.add_parser("train", help="Train the model")
+    p_train.add_argument("--config", type=str, default="configs/default_8x8.yaml")
+    p_train.add_argument(
+        "--resume", type=str, default=None,
+        help="checkpoint path or 'latest' to resume training",
+    )
+    p_train.set_defaults(func=train_command)
+
+    p_eval = sub.add_parser("eval", help="Evaluate the model")
+    p_eval.add_argument("--checkpoint", type=str, required=True)
+    p_eval.add_argument("--games", type=int, default=20)
+    p_eval.add_argument("--simulations", type=int, default=50)
+    p_eval.add_argument("--seed", type=int, default=42)
+    p_eval.add_argument("--verbose", action="store_true")
+    p_eval.add_argument("--save-results", action="store_true")
+    p_eval.set_defaults(func=eval_command)
+
+    p_play = sub.add_parser("play", help="Play against AI")
+    p_play.add_argument("--checkpoint", type=str, required=True)
+    p_play.add_argument("--simulations", type=int, default=100)
+    p_play.add_argument("--color", choices=["black", "white"], default="black")
+    p_play.add_argument("--seed", type=int, default=0)
+    p_play.set_defaults(func=play_command)
+
+    return parser
+
+
+def main(argv: Optional[list] = None) -> None:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if hasattr(args, "func"):
+        args.func(args)
+    else:
+        parser.print_help()
+
+
+if __name__ == "__main__":
+    main()

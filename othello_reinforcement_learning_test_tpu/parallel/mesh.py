@@ -1,0 +1,98 @@
+"""Device mesh + data-parallel sharding helpers.
+
+The reference is strictly single-process/single-GPU (SURVEY.md §2: no
+NCCL/MPI/distributed anywhere); its only "parallelism" is stepping N games in
+lockstep on one device. The TPU-native scaling story for this workload is
+**data parallelism over the games/batch axis** (SURVEY.md §2: the model is a
+~3M-param CNN on 8x8 inputs — no sequence axis, so TP/PP/SP/EP/ring-attention
+have no counterpart; documenting that explicitly is part of the design):
+
+- self-play: the game batch is sharded across chips of a
+  ``jax.sharding.Mesh`` along a ``dp`` axis; each chip steps its shard; the
+  whole lockstep loop partitions cleanly under SPMD because games are
+  independent.
+- learner: minibatches shard along ``dp`` with replicated parameters; XLA
+  inserts the gradient all-reduce (``psum`` over ICI) automatically.
+- multi-host: ``jax.distributed.initialize`` + the same mesh spanning all
+  processes' devices (collectives ride ICI within a slice, DCN across).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DP_AXIS = "dp"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+    axis_name: str = DP_AXIS,
+) -> Mesh:
+    """1-D data-parallel mesh over the given (or all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def leading_axis_sharding(mesh: Mesh, ndim: int, axis_name: str = DP_AXIS) -> NamedSharding:
+    """NamedSharding that splits the leading axis over ``axis_name``."""
+    return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_leading(tree, mesh: Mesh, axis_name: str = DP_AXIS):
+    """Constrain every array's leading axis to be sharded over ``axis_name``
+    (used inside jit via ``with_sharding_constraint``)."""
+
+    def f(x):
+        return jax.lax.with_sharding_constraint(
+            x, leading_axis_sharding(mesh, x.ndim, axis_name)
+        )
+
+    return jax.tree.map(f, tree)
+
+
+def replicate(tree, mesh: Mesh):
+    """Constrain every array to full replication."""
+
+    def f(x):
+        return jax.lax.with_sharding_constraint(x, replicated(mesh))
+
+    return jax.tree.map(f, tree)
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host process-group bring-up (``jax.distributed.initialize``) —
+    the TPU-native equivalent of the NCCL/Gloo layer the reference never had.
+    No-op when the arguments are absent and the environment provides them
+    (GKE/TPU-VM auto-config)."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def fold_in_process(rng: jax.Array, process_index: Optional[int] = None) -> jax.Array:
+    """Host-count-agnostic per-process seeding (SURVEY.md §5: deterministic
+    per-shard PRNG via fold_in of host indices)."""
+    if process_index is None:
+        process_index = jax.process_index()
+    return jax.random.fold_in(rng, process_index)

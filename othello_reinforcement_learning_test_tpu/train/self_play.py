@@ -63,6 +63,7 @@ def max_game_length(size: int) -> int:
         "num_simulations",
         "temperature_threshold",
         "add_noise",
+        "mesh",
     ),
 )
 def play_games(
@@ -77,6 +78,7 @@ def play_games(
     dirichlet_epsilon: float = 0.25,
     temperature_threshold: int = 15,
     add_noise: bool = True,
+    mesh=None,
 ) -> Trajectory:
     """Play ``num_games`` complete games in lockstep; fully jitted.
 
@@ -95,6 +97,18 @@ def play_games(
     traj_pi = jnp.zeros((B, T, A), jnp.float32)
     traj_parity = jnp.zeros((B, T), jnp.int32)
     traj_mask = jnp.zeros((B, T), jnp.bool_)
+
+    if mesh is not None:
+        # data-parallel: shard the independent games axis across the mesh;
+        # the whole lockstep loop then partitions under SPMD (params stay
+        # replicated — see parallel.mesh).
+        from ..parallel.mesh import replicate, shard_leading
+
+        boards0 = shard_leading(boards0, mesh)
+        traj_me, traj_opp, traj_pi, traj_parity, traj_mask = shard_leading(
+            (traj_me, traj_opp, traj_pi, traj_parity, traj_mask), mesh
+        )
+        variables = replicate(variables, mesh)
 
     def cond(carry):
         boards, _, _, _, _, _, _, t = carry

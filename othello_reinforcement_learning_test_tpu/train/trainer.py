@@ -102,7 +102,8 @@ def loss_fn(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model", "engine", "tx", "batch_size", "augment")
+    jax.jit,
+    static_argnames=("model", "engine", "tx", "batch_size", "augment", "mesh"),
 )
 def train_step(
     model: OthelloResNet,
@@ -113,11 +114,19 @@ def train_step(
     rng: jax.Array,
     batch_size: int,
     augment: bool = False,
+    mesh=None,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One SGD minibatch step sampled from the buffer (= one reference
-    "epoch", trainer.py:283-328)."""
+    "epoch", trainer.py:283-328). With ``mesh``, the minibatch shards over
+    the ``dp`` axis and parameters replicate; XLA inserts the gradient
+    all-reduce."""
     rng_sample, rng_aug = jax.random.split(rng)
     feats, pi, v = buffer_lib.sample(buf, rng_sample, engine, batch_size)
+    if mesh is not None:
+        from ..parallel.mesh import replicate, shard_leading
+
+        feats, pi, v = shard_leading((feats, pi, v), mesh)
+        state = replicate(state, mesh)
 
     if augment:
         # apply a random D4 symmetry per sample (coverage equivalent to the
