@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""AI strength benchmark (counterpart of reference ``benchmark_ai.py``).
+
+Evaluates a checkpoint against Random and Greedy baselines with W-L-D,
+score stats and JSON artifacts (``/root/reference/benchmark_ai.py:20-153``).
+All games of a match run batched in one jitted loop.
+"""
+
+import argparse
+import json
+import os
+from datetime import datetime
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--games", type=int, default=50)
+    parser.add_argument("--simulations", type=int, default=100)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--output-dir", default="data/benchmark")
+    parser.add_argument("--platform", default=None)
+    args = parser.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from othello_reinforcement_learning_test_tpu.evaluation import (
+        Arena,
+        GreedyPlayer,
+        MCTSPlayer,
+        RandomPlayer,
+    )
+
+    player = MCTSPlayer.from_checkpoint(
+        args.checkpoint, num_simulations=args.simulations
+    )
+    engine = player.engine
+    arena = Arena(engine, verbose=True)
+    rng = jax.random.PRNGKey(args.seed)
+
+    report = {
+        "checkpoint": args.checkpoint,
+        "timestamp": datetime.now().isoformat(),
+        "simulations": args.simulations,
+        "games_per_opponent": args.games,
+        "results": {},
+    }
+    for opponent in (RandomPlayer(engine), GreedyPlayer(engine)):
+        rng, sub = jax.random.split(rng)
+        s = arena.play_matches(player, opponent, args.games, sub)
+        scores = [r.player1_score for r in s.results]
+        report["results"][opponent.name] = {
+            "wins": s.wins,
+            "losses": s.losses,
+            "draws": s.draws,
+            "win_rate": s.win_rate,
+            "avg_score": s.avg_score,
+            "score_min": min(scores),
+            "score_max": max(scores),
+            "avg_moves": s.avg_moves,
+        }
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    path = os.path.join(args.output_dir, f"benchmark_{stamp}.json")
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"\nreport saved to {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Network throughput benchmark (counterpart of reference
+``benchmark_model.py``): inference throughput across batch sizes 1-256 for
+bf16 (the AMP equivalent) and f32 compute, plus device memory stats where
+the backend exposes them (``/root/reference/benchmark_model.py:15-144``)."""
+
+import argparse
+import time
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--blocks", type=int, default=10)
+    parser.add_argument("--filters", type=int, default=128)
+    parser.add_argument("--platform", default=None)
+    parser.add_argument("--repeats", type=int, default=10)
+    parser.add_argument(
+        "--batches", type=int, nargs="+",
+        default=[1, 8, 32, 64, 128, 256, 1024, 4096],
+    )
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from othello_reinforcement_learning_test_tpu.models import (
+        OthelloResNet,
+        init_variables,
+        param_count,
+    )
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}")
+
+    for dtype_name, dtype in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
+        model = OthelloResNet(
+            num_blocks=args.blocks, num_filters=args.filters, dtype=dtype
+        )
+        variables = init_variables(model, jax.random.PRNGKey(0))
+        if dtype_name == "bf16":
+            print(
+                f"model: {args.blocks} blocks x {args.filters} filters "
+                f"({param_count(variables['params']):,} params)"
+            )
+        print(f"--- compute dtype {dtype_name} ---")
+
+        @jax.jit
+        def fwd(v, x):
+            lp, val = model.apply(v, x, train=False)
+            return lp.sum() + val.sum()  # scalar -> cheap D2H readback
+
+        for b in args.batches:
+            x = jnp.zeros((b, 8, 8, 3), jnp.float32)
+            try:
+                float(fwd(variables, x))  # compile + warmup
+                t0 = time.perf_counter()
+                for _ in range(args.repeats):
+                    float(fwd(variables, x))
+                dt = (time.perf_counter() - t0) / args.repeats
+                print(
+                    f"batch {b:5d}: {b / dt:12,.0f} boards/sec "
+                    f"({dt * 1e3:7.2f} ms/batch)"
+                )
+            except Exception as e:  # noqa: BLE001 — OOM etc (reference
+                # catches OOM the same way, benchmark_model.py:97-102)
+                print(f"batch {b:5d}: failed ({type(e).__name__}: {e})")
+
+    try:
+        stats = dev.memory_stats()
+        if stats:
+            print(
+                f"device memory: in-use "
+                f"{stats.get('bytes_in_use', 0) / 2**20:.1f} MiB, "
+                f"peak {stats.get('peak_bytes_in_use', 0) / 2**20:.1f} MiB"
+            )
+    except Exception:  # noqa: BLE001 — backend without memory stats
+        pass
+
+
+if __name__ == "__main__":
+    main()
