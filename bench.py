@@ -43,20 +43,22 @@ def main() -> None:
     @jax.jit
     def play(key):
         s = engine.initial_state((B,))
+        mask0, term0, _ = engine.observe(s)
 
         def cond(carry):
-            s, key, t, steps = carry
-            return (~engine.is_terminal(s)).any() & (t < T)
+            s, mask, term, key, t, steps = carry
+            return (~term).any() & (t < T)
 
         def body(carry):
-            s, key, t, steps = carry
+            # one observation (2 flood passes) + one flip resolution per step;
+            # legality/terminality carried between iterations
+            s, mask, term, key, t, steps = carry
             key, sub = jax.random.split(key)
-            live = ~engine.is_terminal(s)
-            mask = engine.legal_actions(s)
+            live = ~term
             a = jax.random.categorical(
                 sub, jnp.where(mask, 0.0, -jnp.inf), axis=-1
             ).astype(jnp.int32)
-            nxt, _ = engine.step(s, a)
+            nxt, _ = engine.step(s, a, pass_legal=mask[..., engine.pass_action])
             s = jax.tree.map(
                 lambda n, o: jnp.where(
                     live.reshape(live.shape + (1,) * (n.ndim - live.ndim)), n, o
@@ -64,9 +66,12 @@ def main() -> None:
                 nxt,
                 s,
             )
-            return s, key, t + 1, steps + live.sum()
+            mask, term, _ = engine.observe(s)
+            return s, mask, term, key, t + 1, steps + live.sum()
 
-        s, _, t, steps = jax.lax.while_loop(cond, body, (s, key, 0, jnp.int32(0)))
+        s, _, _, _, t, steps = jax.lax.while_loop(
+            cond, body, (s, mask0, term0, key, 0, jnp.int32(0))
+        )
         return engine.winner(s), steps, s.move_count
 
     # warmup / compile

@@ -214,21 +214,32 @@ class OthelloEngine:
         return jnp.concatenate([sq_mask, can_pass], axis=-1)
 
     # -- stepping -------------------------------------------------------------
-    def step(self, state: Board, action: jnp.ndarray) -> Tuple[Board, jnp.ndarray]:
+    def step(
+        self,
+        state: Board,
+        action: jnp.ndarray,
+        pass_legal: jnp.ndarray = None,
+    ) -> Tuple[Board, jnp.ndarray]:
         """Apply ``action`` ((...,) int32 in [0, S*S]); returns (new, valid).
 
         Invalid actions leave the board unchanged and return valid=False,
         mirroring reference ``make_move`` returning False (bitboard.pyx:195-247).
         Pass is valid only when no placement is legal; both placement and pass
         swap perspective and increment ``move_count``.
+
+        ``pass_legal`` ((...,) bool, optional): callers that already ran
+        :meth:`observe`/:meth:`legal_actions` can pass the precomputed
+        pass-legality to skip the internal legal-move flood (the only use of
+        it here) — the hot-loop fast path.
         """
         is_pass = action == self.pass_action
         move = bits.bit(self.action_to_bitpos(action))
-        legal = self.legal_squares(state.me, state.opp)
+        if pass_legal is None:
+            pass_legal = bits.is_zero(self.legal_squares(state.me, state.opp))
         f = self.flips(state.me, state.opp, move)
         occupied = bits.any_set((state.me | state.opp) & move)
         valid_place = (~is_pass) & bits.any_set(f) & ~occupied
-        valid_pass = is_pass & bits.is_zero(legal)
+        valid_pass = is_pass & pass_legal
         valid = valid_place | valid_pass
 
         placed = jnp.where(valid[..., None], move, jnp.zeros_like(move))
@@ -259,6 +270,38 @@ class OthelloEngine:
 
     def stone_counts(self, state: Board) -> Tuple[jnp.ndarray, jnp.ndarray]:
         return bits.popcount(state.me), bits.popcount(state.opp)
+
+    # -- fused observation ------------------------------------------------------
+    def observe(self, state: Board, with_features: bool = False):
+        """One-pass observation for hot loops: computes each side's legal
+        floods exactly once and derives everything consumers need.
+
+        Returns ``(legal_actions (..., A) bool, terminal (...,), winner (...,))``
+        or, with ``with_features``, ``(..., features (..., S, S, 3))`` too.
+        Replaces separate ``legal_actions`` + ``is_terminal`` + ``winner`` (+
+        ``features``) calls, which would redo the 8-direction flood up to 5x.
+        """
+        legal_me = self.legal_squares(state.me, state.opp)
+        legal_opp = self.legal_squares(state.opp, state.me)
+        sq_mask = self.squares_to_actions(legal_me)
+        me_stuck = bits.is_zero(legal_me)
+        terminal = me_stuck & bits.is_zero(legal_opp)
+        legal_actions = jnp.concatenate([sq_mask, me_stuck[..., None]], axis=-1)
+        winner = jnp.sign(
+            bits.popcount(state.me) - bits.popcount(state.opp)
+        ).astype(jnp.int32)
+        if not with_features:
+            return legal_actions, terminal, winner
+
+        def grid(word):
+            planes = bits.to_planes(word, jnp.float32)
+            g = planes.reshape(*planes.shape[:-1], 8, 8)
+            return g[..., : self.size, : self.size]
+
+        feats = jnp.stack(
+            [grid(state.me), grid(state.opp), grid(legal_me)], axis=-1
+        )
+        return legal_actions, terminal, winner, feats
 
     # -- NN features ------------------------------------------------------------
     def features(self, state: Board) -> jnp.ndarray:

@@ -65,6 +65,7 @@ class SearchResult(NamedTuple):
     root_value: jnp.ndarray  # (B,) float32 — mean value at root (mover view)
     q_values: jnp.ndarray  # (B, A) float32 — per-action Q, mover perspective
     legal: jnp.ndarray  # (B, A) bool
+    root_terminal: jnp.ndarray  # (B,) bool — roots that are finished games
 
 
 class _Selection(NamedTuple):
@@ -254,17 +255,14 @@ def search(
     assert len(batch) == 1, "search expects a single batch axis"
     B = batch[0]
 
-    feats = engine.features(boards)
+    legal0, term0, win0, feats = engine.observe(boards, with_features=True)
     log_p, v0 = apply_fn(feats)
-    legal0 = engine.legal_actions(boards)
     prior0 = masked_probs(log_p, legal0)
     if add_noise:
         rng, sub = jax.random.split(rng)
         prior0 = add_dirichlet_noise(
             sub, prior0, legal0, dirichlet_alpha, dirichlet_epsilon
         )
-    term0 = engine.is_terminal(boards)
-    win0 = engine.winner(boards)
     root_value0 = jnp.where(term0, win0.astype(jnp.float32), v0[..., 0])
 
     tree = jax.vmap(lambda *a: _init_tree(n_slots, num_actions, *a))(
@@ -281,13 +279,19 @@ def search(
             move_count=jnp.zeros((B,), jnp.int32),
             passed=jnp.zeros((B,), jnp.bool_),
         )
-        child_board, _ = engine.step(parent_board, sel.action)
-        feats = engine.features(child_board)
+        # pass-legality at the parent is already cached in the tree, so step
+        # can skip its legal-move flood entirely
+        parent_pass_legal = jax.vmap(lambda t, p: t.legal[p, engine.pass_action])(
+            tree, sel.parent
+        )
+        child_board, _ = engine.step(
+            parent_board, sel.action, pass_legal=parent_pass_legal
+        )
+        child_legal, child_term, child_win, feats = engine.observe(
+            child_board, with_features=True
+        )
         log_p, v = apply_fn(feats)
-        child_legal = engine.legal_actions(child_board)
         child_prior = masked_probs(log_p, child_legal)
-        child_term = engine.is_terminal(child_board)
-        child_win = engine.winner(child_board)
 
         tree = jax.vmap(_expand_and_backup)(
             tree,
@@ -317,7 +321,11 @@ def search(
 
     counts, root_value, q_values = jax.vmap(extract)(tree)
     return SearchResult(
-        visit_counts=counts, root_value=root_value, q_values=q_values, legal=legal0
+        visit_counts=counts,
+        root_value=root_value,
+        q_values=q_values,
+        legal=legal0,
+        root_terminal=term0,
     )
 
 

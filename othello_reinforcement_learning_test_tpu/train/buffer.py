@@ -108,6 +108,107 @@ def is_ready(buffer: ReplayBuffer, min_size: int) -> bool:
     return int(buffer.filled) >= min_size
 
 
+# ---------------------------------------------------------------------------
+# Prioritized replay. The reference declares a PrioritizedReplayBuffer that
+# silently falls back to uniform sampling (buffer.py:139-177, SURVEY.md §7
+# quirk #9); this is a real proportional-prioritization implementation
+# (priority ~ |value-target TD proxy|^alpha with importance weights), still
+# fully on-device.
+# ---------------------------------------------------------------------------
+
+
+class PrioritizedReplayBuffer(ReplayBuffer):
+    priority: jnp.ndarray  # (C+1,) float32, >= 0
+    max_priority: jnp.ndarray  # () float32
+    alpha: jnp.ndarray  # () float32
+
+
+def create_prioritized(
+    capacity: int, num_actions: int, alpha: float = 0.6
+) -> PrioritizedReplayBuffer:
+    base = create(capacity, num_actions)
+    return PrioritizedReplayBuffer(
+        **{f: getattr(base, f) for f in (
+            "me", "opp", "pi", "value", "cursor", "filled", "total_added")},
+        priority=jnp.zeros((capacity + 1,), jnp.float32),
+        max_priority=jnp.float32(1.0),
+        alpha=jnp.float32(alpha),
+    )
+
+
+@jax.jit
+def add_prioritized(
+    buffer: PrioritizedReplayBuffer, traj: Trajectory
+) -> PrioritizedReplayBuffer:
+    """New entries get max priority so everything is seen at least once."""
+    C = buffer.capacity
+    mask = traj.mask.reshape(-1)
+    offsets = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    pos = jnp.where(mask, (buffer.cursor + offsets) % C, C)
+    base = add(
+        ReplayBuffer(
+            me=buffer.me, opp=buffer.opp, pi=buffer.pi, value=buffer.value,
+            cursor=buffer.cursor, filled=buffer.filled,
+            total_added=buffer.total_added,
+        ),
+        traj,
+    )
+    prio = buffer.priority.at[pos].set(
+        jnp.where(mask, buffer.max_priority, 0.0)
+    )
+    return PrioritizedReplayBuffer(
+        **{f: getattr(base, f) for f in (
+            "me", "opp", "pi", "value", "cursor", "filled", "total_added")},
+        priority=prio,
+        max_priority=buffer.max_priority,
+        alpha=buffer.alpha,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("engine", "batch_size"))
+def sample_prioritized(
+    buffer: PrioritizedReplayBuffer,
+    rng: jax.Array,
+    engine: OthelloEngine,
+    batch_size: int,
+):
+    """Proportional sampling: P(i) ~ priority_i^alpha. Returns
+    (features, pi, value, idx, importance_weights)."""
+    C = buffer.capacity
+    valid = jnp.arange(C + 1) < buffer.filled
+    p = jnp.where(valid, buffer.priority, 0.0) ** buffer.alpha
+    p = jnp.where(valid & (p <= 0), 1e-6, p)  # unseen-but-valid guard
+    total = jnp.maximum(p.sum(), 1e-8)
+    idx = jax.random.choice(
+        rng, C + 1, shape=(batch_size,), p=p / total, replace=True
+    )
+    from ..ops.bitboard import Board
+
+    boards = Board(
+        me=buffer.me[idx],
+        opp=buffer.opp[idx],
+        move_count=jnp.zeros((batch_size,), jnp.int32),
+        passed=jnp.zeros((batch_size,), jnp.bool_),
+    )
+    feats = engine.features(boards)
+    n = jnp.maximum(buffer.filled, 1).astype(jnp.float32)
+    probs = (p / total)[idx]
+    weights = 1.0 / jnp.maximum(n * probs, 1e-8)
+    weights = weights / jnp.maximum(weights.max(), 1e-8)
+    return feats, buffer.pi[idx], buffer.value[idx][:, None], idx, weights
+
+
+@jax.jit
+def update_priorities(
+    buffer: PrioritizedReplayBuffer, idx: jnp.ndarray, td_error: jnp.ndarray
+) -> PrioritizedReplayBuffer:
+    prio = jnp.abs(td_error) + 1e-3
+    return buffer.replace(
+        priority=buffer.priority.at[idx].set(prio),
+        max_priority=jnp.maximum(buffer.max_priority, prio.max()),
+    )
+
+
 @jax.jit
 def statistics(buffer: ReplayBuffer) -> Dict[str, jnp.ndarray]:
     """size / fill rate / value mean+std over valid entries

@@ -111,13 +111,12 @@ def play_games(
         variables = replicate(variables, mesh)
 
     def cond(carry):
-        boards, _, _, _, _, _, _, t = carry
-        return (~engine.is_terminal(boards)).any() & (t < T)
+        boards, any_live, _, _, _, _, _, _, t = carry
+        return any_live & (t < T)
 
     def body(carry):
-        boards, rng, t_me, t_opp, t_pi, t_par, t_mask, t = carry
+        boards, _, rng, t_me, t_opp, t_pi, t_par, t_mask, t = carry
         rng, k_search, k_act = jax.random.split(rng, 3)
-        live = ~engine.is_terminal(boards)
 
         res = mcts.search(
             engine,
@@ -130,6 +129,9 @@ def play_games(
             dirichlet_epsilon=dirichlet_epsilon,
             add_noise=add_noise,
         )
+        # liveness comes for free from the search's root observation (the
+        # separate is_terminal flood this replaced cost 2 extra flood passes)
+        live = ~res.root_terminal
         # canonical training target: visit distribution (temperature 1)
         pi = mcts.action_probs_from_counts(res.visit_counts, res.legal, 1.0)
         # action temperature schedule
@@ -148,7 +150,9 @@ def play_games(
         t_par = t_par.at[:, t].set(jnp.where(live, boards.move_count % 2, 0))
         t_mask = t_mask.at[:, t].set(live)
 
-        nxt, _ = engine.step(boards, action)
+        nxt, _ = engine.step(
+            boards, action, pass_legal=res.legal[..., engine.pass_action]
+        )
         boards = jax.tree.map(
             lambda n, o: jnp.where(
                 live.reshape(live.shape + (1,) * (n.ndim - live.ndim)), n, o
@@ -156,12 +160,22 @@ def play_games(
             nxt,
             boards,
         )
-        return boards, rng, t_me, t_opp, t_pi, t_par, t_mask, t + 1
+        return boards, live.any(), rng, t_me, t_opp, t_pi, t_par, t_mask, t + 1
 
-    boards, _, t_me, t_opp, t_pi, t_par, t_mask, _ = jax.lax.while_loop(
+    boards, _, _, t_me, t_opp, t_pi, t_par, t_mask, _ = jax.lax.while_loop(
         cond,
         body,
-        (boards0, rng, traj_me, traj_opp, traj_pi, traj_parity, traj_mask, 0),
+        (
+            boards0,
+            jnp.bool_(True),
+            rng,
+            traj_me,
+            traj_opp,
+            traj_pi,
+            traj_parity,
+            traj_mask,
+            0,
+        ),
     )
 
     # outcome assignment: winner from final side-to-move, re-expressed per step
