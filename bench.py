@@ -1,15 +1,18 @@
 #!/usr/bin/env python
-"""Headline benchmark: batched random self-play throughput on one chip.
+"""Headline benchmark on one chip. Prints exactly one JSON line.
 
-Mirrors the reference's ``benchmark.py`` workload (random vs random games to
-termination, ``/root/reference/benchmark.py:16-95``) — the reference's
-Cython engine claims 10,000+ games/sec on a laptop CPU core
-(BASELINE.md). Here the whole workload is ONE jitted XLA program stepping
-thousands of games in lockstep on the device.
-
-Prints exactly one JSON line:
-  {"metric": "selfplay_games_per_sec", "value": N, "unit": "games/s",
-   "vs_baseline": N / 10000, ...extras}
+Modes:
+  random (default) — batched random self-play to termination, the reference
+      ``benchmark.py`` workload (``/root/reference/benchmark.py:16-95``;
+      its Cython engine claims 10k+ games/sec on a laptop CPU —
+      vs_baseline is measured against that 10k figure).
+  mcts — batched AlphaZero self-play (array-tree MCTS + ResNet evals),
+      the real training workload; reports games/s, env-steps/s and NN-backed
+      simulation throughput.
+  train — one full training iteration (self-play -> buffer -> SGD steps) in
+      the default_8x8.yaml regime (100 games, 25 sims, 10x128 net); the
+      reference does this in ~5 minutes on an RTX 4050 (README.md:293-294),
+      vs_baseline compares wall time against those 300 s.
 """
 
 import argparse
@@ -18,25 +21,13 @@ import sys
 import time
 
 
-def main() -> None:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=262144, help="games in lockstep")
-    parser.add_argument("--repeats", type=int, default=3)
-    parser.add_argument("--platform", type=str, default=None,
-                        help="force jax platform (e.g. cpu)")
-    parser.add_argument("--size", type=int, default=8)
-    args = parser.parse_args()
+def _force_read(x) -> int:
+    """Round-trip a scalar to the host so async dispatch layers can't report
+    completion early."""
+    return int(x)
 
-    import jax
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
-    import jax.numpy as jnp
-
-    from othello_reinforcement_learning_test_tpu.ops.bitboard import get_engine
-
-    dev = jax.devices()[0]
-    engine = get_engine(args.size, "reference")
+def bench_random(args, jax, jnp, engine):
     B = args.batch
     T = 2 * args.size * args.size + 4
 
@@ -50,8 +41,7 @@ def main() -> None:
             return (~term).any() & (t < T)
 
         def body(carry):
-            # one observation (2 flood passes) + one flip resolution per step;
-            # legality/terminality carried between iterations
+            # one observation (2 flood passes) + one flip resolution per step
             s, mask, term, key, t, steps = carry
             key, sub = jax.random.split(key)
             live = ~term
@@ -74,28 +64,21 @@ def main() -> None:
         )
         return engine.winner(s), steps, s.move_count
 
-    # warmup / compile
     w, steps, moves = play(jax.random.PRNGKey(0))
-    jax.block_until_ready(w)
-    int(steps)
+    _force_read(steps)
 
-    best_gps = 0.0
-    best = None
+    best_gps, best = 0.0, None
     for r in range(args.repeats):
         t0 = time.perf_counter()
         w, steps, moves = play(jax.random.PRNGKey(r + 1))
-        # force a real device->host transfer so async dispatch layers can't
-        # report completion early (int() reads the scalar result)
-        steps = int(steps)
-        jax.block_until_ready(w)
+        steps = _force_read(steps)
         dt = time.perf_counter() - t0
-        games_ps = B / dt
-        if games_ps > best_gps:
-            best_gps = games_ps
+        if B / dt > best_gps:
+            best_gps = B / dt
             best = (dt, steps, float(jnp.mean(moves)))
 
     dt, env_steps, avg_moves = best
-    out = {
+    return {
         "metric": "selfplay_games_per_sec",
         "value": round(best_gps, 1),
         "unit": "games/s",
@@ -103,9 +86,133 @@ def main() -> None:
         "env_steps_per_sec": round(env_steps / dt, 1),
         "batch": B,
         "avg_moves": round(avg_moves, 2),
-        "device": str(dev),
         "wall_s": round(dt, 4),
     }
+
+
+def bench_mcts(args, jax, jnp, engine):
+    from othello_reinforcement_learning_test_tpu.models import (
+        OthelloResNet,
+        init_variables,
+    )
+    from othello_reinforcement_learning_test_tpu.train import apply_eval, play_games
+
+    B = args.batch
+    sims = args.simulations
+    model = OthelloResNet(num_blocks=args.blocks, num_filters=args.filters)
+    variables = init_variables(model, jax.random.PRNGKey(0))
+
+    def run(seed):
+        traj = play_games(
+            engine,
+            apply_eval(model),
+            variables,
+            jax.random.PRNGKey(seed),
+            num_games=B,
+            num_simulations=sims,
+            temperature_threshold=15,
+        )
+        return traj
+
+    traj = run(0)
+    _force_read(traj.num_moves.sum())
+
+    best = None
+    for r in range(args.repeats):
+        t0 = time.perf_counter()
+        traj = run(r + 1)
+        total_moves = _force_read(traj.num_moves.sum())
+        dt = time.perf_counter() - t0
+        gps = B / dt
+        if best is None or gps > best[0]:
+            best = (gps, dt, total_moves)
+
+    gps, dt, total_moves = best
+    env_steps = total_moves / dt
+    return {
+        "metric": "mcts_selfplay_games_per_sec",
+        "value": round(gps, 2),
+        "unit": "games/s",
+        # reference trains 100 games/iter in ~300 s => ~0.33 games/s
+        "vs_baseline": round(gps / (100.0 / 300.0), 1),
+        "env_steps_per_sec": round(env_steps, 1),
+        "nn_sims_per_sec": round(env_steps * sims, 1),
+        "batch": B,
+        "num_simulations": sims,
+        "model": f"{args.blocks}x{args.filters}",
+        "wall_s": round(dt, 3),
+    }
+
+
+def bench_train(args, jax, jnp, engine):
+    from othello_reinforcement_learning_test_tpu.train import AlphaZeroTrainer
+    from othello_reinforcement_learning_test_tpu.utils import load_config
+
+    cfg = load_config()
+    cfg["training"].update(
+        num_iterations=1,
+        self_play_episodes_per_iter=args.batch,
+        batch_size=256,
+        train_epochs_per_iter=10,
+        replay_buffer_size=100_000,
+        checkpoint_interval=10_000,
+    )
+    cfg["model"].update(num_blocks=args.blocks, num_filters=args.filters)
+    cfg["mcts"]["num_simulations"] = args.simulations
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    cfg["paths"]["checkpoint_dir"] = d + "/m"
+    cfg["paths"]["log_dir"] = d + "/l"
+    trainer = AlphaZeroTrainer(cfg, log_cb=None)
+
+    # warmup iteration compiles everything
+    trainer.train(num_iterations=1)
+    t0 = time.perf_counter()
+    trainer.state = trainer.state.replace(iteration=jax.numpy.int32(0))
+    trainer.train(num_iterations=1)
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "train_iteration_seconds",
+        "value": round(dt, 3),
+        "unit": "s/iteration",
+        # reference: ~300 s/iteration on RTX 4050 (README.md:293-294)
+        "vs_baseline": round(300.0 / dt, 1),
+        "episodes": args.batch,
+        "num_simulations": args.simulations,
+        "model": f"{args.blocks}x{args.filters}",
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--mode", choices=["random", "mcts", "train"],
+                        default="random")
+    parser.add_argument("--batch", type=int, default=None,
+                        help="games in lockstep (defaults per mode)")
+    parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--platform", type=str, default=None)
+    parser.add_argument("--size", type=int, default=8)
+    parser.add_argument("--simulations", type=int, default=25)
+    parser.add_argument("--blocks", type=int, default=10)
+    parser.add_argument("--filters", type=int, default=128)
+    args = parser.parse_args()
+    if args.batch is None:
+        args.batch = {"random": 262144, "mcts": 1024, "train": 100}[args.mode]
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from othello_reinforcement_learning_test_tpu.ops.bitboard import get_engine
+
+    engine = get_engine(args.size, "reference")
+    out = {"random": bench_random, "mcts": bench_mcts, "train": bench_train}[
+        args.mode
+    ](args, jax, jnp, engine)
+    out["device"] = str(jax.devices()[0])
     print(json.dumps(out))
 
 

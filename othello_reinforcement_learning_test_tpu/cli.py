@@ -40,12 +40,15 @@ def set_seed(seed: int) -> jax.Array:
 
 
 def train_command(args) -> None:
-    from .train.trainer import AlphaZeroTrainer
-    from .train import checkpoint as ckpt_lib
     from .utils import load_config
 
+    # force the platform before importing the training stack — orbax/flax
+    # imports may initialize jax backends, after which the platform is locked
     config = load_config(args.config)
     _maybe_force_cpu(config["system"].get("device", "auto"))
+
+    from .train.trainer import AlphaZeroTrainer
+    from .train import checkpoint as ckpt_lib
     print("=" * 70)
     print("AlphaZero Training (TPU-native)")
     print("=" * 70)
@@ -66,6 +69,7 @@ def train_command(args) -> None:
 
 
 def eval_command(args) -> None:
+    _maybe_force_cpu(args.device)
     from .evaluation import GreedyPlayer, MCTSPlayer, RandomPlayer, evaluate_player
 
     print("=" * 70)
@@ -74,9 +78,12 @@ def eval_command(args) -> None:
     print(f"checkpoint: {args.checkpoint}")
     print(f"games per opponent: {args.games}; simulations: {args.simulations}")
 
-    player = MCTSPlayer.from_checkpoint(
-        args.checkpoint, num_simulations=args.simulations
-    )
+    try:
+        player = MCTSPlayer.from_checkpoint(
+            args.checkpoint, num_simulations=args.simulations
+        )
+    except FileNotFoundError as e:
+        raise SystemExit(f"error: {e}") from None
     engine = player.engine
     rng = set_seed(args.seed)
 
@@ -124,14 +131,18 @@ def eval_command(args) -> None:
 
 def play_command(args) -> None:
     """Human vs AI in the terminal (implemented; reference stub main.py:262-270)."""
+    _maybe_force_cpu(args.device)
     import numpy as np
 
     from .evaluation import HumanPlayer, MCTSPlayer
     from .search import mcts as mcts_lib
 
-    player_ai = MCTSPlayer.from_checkpoint(
-        args.checkpoint, num_simulations=args.simulations
-    )
+    try:
+        player_ai = MCTSPlayer.from_checkpoint(
+            args.checkpoint, num_simulations=args.simulations
+        )
+    except FileNotFoundError as e:
+        raise SystemExit(f"error: {e}") from None
     engine = player_ai.engine
     human = HumanPlayer(engine)
     rng = set_seed(args.seed)
@@ -186,6 +197,7 @@ def build_parser() -> argparse.ArgumentParser:
     p_eval.add_argument("--games", type=int, default=20)
     p_eval.add_argument("--simulations", type=int, default=50)
     p_eval.add_argument("--seed", type=int, default=42)
+    p_eval.add_argument("--device", choices=["auto", "cpu"], default="auto")
     p_eval.add_argument("--verbose", action="store_true")
     p_eval.add_argument("--save-results", action="store_true")
     p_eval.set_defaults(func=eval_command)
@@ -195,6 +207,7 @@ def build_parser() -> argparse.ArgumentParser:
     p_play.add_argument("--simulations", type=int, default=100)
     p_play.add_argument("--color", choices=["black", "white"], default="black")
     p_play.add_argument("--seed", type=int, default=0)
+    p_play.add_argument("--device", choices=["auto", "cpu"], default="auto")
     p_play.set_defaults(func=play_command)
 
     return parser

@@ -204,9 +204,13 @@ class HumanPlayer(Player):
         legal_list = np.where(legal[0])[0].tolist()
         size = self.engine.size
         while True:
-            raw = self.input_fn(
-                f"move (0-{size * size - 1}, row,col, or 'pass') {legal_list}: "
-            ).strip().lower()
+            try:
+                raw = self.input_fn(
+                    f"move (0-{size * size - 1}, row,col, or 'pass') {legal_list}: "
+                ).strip().lower()
+            except (EOFError, KeyboardInterrupt):
+                print("\n(quit)")
+                raise SystemExit(0) from None
             try:
                 if raw in ("pass", "p"):
                     a = self.engine.pass_action

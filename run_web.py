@@ -18,7 +18,13 @@ def main() -> None:
     parser.add_argument("--simulations", type=int, default=100)
     parser.add_argument("--asgi", action="store_true",
                         help="serve via FastAPI/uvicorn if installed")
+    parser.add_argument("--device", choices=["auto", "cpu"], default="auto")
     args = parser.parse_args()
+
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from othello_reinforcement_learning_test_tpu.apps.web.game_manager import (
         GameManager,
