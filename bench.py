@@ -31,6 +31,9 @@ def bench_random(args, jax, jnp, engine):
     B = args.batch
     T = 2 * args.size * args.size + 4
 
+    if args.pallas:
+        return bench_random_pallas(args, jax, jnp, engine)
+
     @jax.jit
     def play(key):
         s = engine.initial_state((B,))
@@ -86,6 +89,50 @@ def bench_random(args, jax, jnp, engine):
         "env_steps_per_sec": round(env_steps / dt, 1),
         "batch": B,
         "avg_moves": round(avg_moves, 2),
+        "wall_s": round(dt, 4),
+    }
+
+
+def bench_random_pallas(args, jax, jnp, engine):
+    """Random self-play through the fused Pallas step kernel."""
+    from othello_reinforcement_learning_test_tpu.ops.pallas_step import (
+        pack_boards,
+        play_random_games,
+    )
+
+    B = args.batch
+    s = engine.initial_state((B,))
+    packed = pack_boards(s.me, s.opp)
+    interpret = jax.devices()[0].platform != "tpu"
+
+    def run(seed):
+        return play_random_games(
+            packed, jnp.int32(seed), max_plies=2 * args.size**2 + 4,
+            interpret=interpret,
+        )
+
+    final, steps, plies = run(0)
+    _force_read(steps)
+
+    best_gps, best = 0.0, None
+    for r in range(args.repeats):
+        t0 = time.perf_counter()
+        final, steps, plies = run(r + 1)
+        steps = _force_read(steps)
+        dt = time.perf_counter() - t0
+        if B / dt > best_gps:
+            best_gps = B / dt
+            best = (dt, steps)
+
+    dt, env_steps = best
+    return {
+        "metric": "selfplay_games_per_sec",
+        "value": round(best_gps, 1),
+        "unit": "games/s",
+        "vs_baseline": round(best_gps / 10000.0, 3),
+        "env_steps_per_sec": round(env_steps / dt, 1),
+        "batch": B,
+        "kernel": "pallas_fused_step" + (" (interpret)" if interpret else ""),
         "wall_s": round(dt, 4),
     }
 
@@ -196,6 +243,8 @@ def main() -> None:
     parser.add_argument("--simulations", type=int, default=25)
     parser.add_argument("--blocks", type=int, default=10)
     parser.add_argument("--filters", type=int, default=128)
+    parser.add_argument("--pallas", action="store_true",
+                        help="random mode: use the fused Pallas step kernel")
     args = parser.parse_args()
     if args.batch is None:
         args.batch = {"random": 262144, "mcts": 1024, "train": 100}[args.mode]

@@ -1,0 +1,249 @@
+"""Pallas TPU kernel: fused random self-play step.
+
+One kernel advances every game one ply: legal-move flood, in-kernel PRNG
+action sampling (k-th set bit), flip resolution, pass/terminal handling and
+the board update — all in VMEM, eliminating the HBM round-trips between the
+XLA fusions of the unfused path (`bench.py --mode random`).
+
+Layout: games ride the vector lanes. A 64-bit board word is a (lo, hi)
+uint32 pair, and every operation on it — shifts by 1/7/8/9 with carry across
+the 32-bit boundary, masks, floods — is elementwise across games, so the
+whole step is pure VPU work with zero cross-lane communication. Batch B is
+reshaped to (B//128, 128) to satisfy TPU tiling.
+
+This is the optional Pallas path the survey calls out for the engine step
+(SURVEY.md §2 native-components note); the XLA path remains the reference
+implementation and the kernel is cross-checked against it in tests
+(interpret mode on CPU, compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bitboard import _DIRECTIONS
+
+_U32 = jnp.uint32
+_FLOOD_ITERS = 6
+
+# (delta, reference-rules mask) — same table as the XLA engine.
+_DIRS_REF = tuple((d, m_ref) for d, m_ref, _ in _DIRECTIONS)
+
+
+def _split(mask64: int) -> Tuple[int, int]:
+    return mask64 & 0xFFFFFFFF, (mask64 >> 32) & 0xFFFFFFFF
+
+
+def _shl(lo, hi, s: int):
+    return lo << s, (hi << s) | (lo >> (32 - s))
+
+
+def _shr(lo, hi, s: int):
+    return (lo >> s) | (hi << (32 - s)), hi >> s
+
+
+def _shift(lo, hi, d: int):
+    return _shl(lo, hi, d) if d > 0 else _shr(lo, hi, -d)
+
+
+def _legal(me_lo, me_hi, op_lo, op_hi):
+    """Reference-rules legal squares (reverse flood), elementwise."""
+    em_lo = ~(me_lo | op_lo)
+    em_hi = ~(me_hi | op_hi)
+    lg_lo = jnp.zeros_like(me_lo)
+    lg_hi = jnp.zeros_like(me_hi)
+    for d, m in _DIRS_REF:
+        mlo, mhi = (jnp.asarray(v, _U32) for v in _split(m))
+        p_lo, p_hi = op_lo & mlo, op_hi & mhi
+        y_lo, y_hi = _shift(me_lo & mlo, me_hi & mhi, -d)
+        y_lo, y_hi = y_lo & p_lo, y_hi & p_hi
+        for _ in range(_FLOOD_ITERS):
+            s_lo, s_hi = _shift(y_lo, y_hi, -d)
+            y_lo, y_hi = y_lo | (s_lo & p_lo), y_hi | (s_hi & p_hi)
+        s_lo, s_hi = _shift(y_lo, y_hi, -d)
+        lg_lo |= s_lo & em_lo
+        lg_hi |= s_hi & em_hi
+    return lg_lo, lg_hi
+
+
+def _flips(me_lo, me_hi, op_lo, op_hi, mv_lo, mv_hi):
+    """Reference-rules flip mask for one-hot move words, elementwise."""
+    t_lo = jnp.zeros_like(me_lo)
+    t_hi = jnp.zeros_like(me_hi)
+    for d, m in _DIRS_REF:
+        mlo, mhi = (jnp.asarray(v, _U32) for v in _split(m))
+        f_lo, f_hi = _shift(mv_lo, mv_hi, d)
+        f_lo, f_hi = f_lo & mlo & op_lo, f_hi & mhi & op_hi
+        for _ in range(_FLOOD_ITERS):
+            s_lo, s_hi = _shift(f_lo, f_hi, d)
+            f_lo = f_lo | (s_lo & mlo & op_lo)
+            f_hi = f_hi | (s_hi & mhi & op_hi)
+        s_lo, s_hi = _shift(f_lo, f_hi, d)
+        term_lo = s_lo & mlo & ~f_lo
+        term_hi = s_hi & mhi & ~f_hi
+        ok = ((term_lo & me_lo) | (term_hi & me_hi)) != 0
+        t_lo |= jnp.where(ok, f_lo, 0)
+        t_hi |= jnp.where(ok, f_hi, 0)
+    return t_lo, t_hi
+
+
+def _popcount(lo, hi):
+    return (
+        jax.lax.population_count(lo) + jax.lax.population_count(hi)
+    ).astype(jnp.int32)
+
+
+def _kth_set_bit(lo, hi, k):
+    """One-hot word of the k-th (0-based) set bit; elementwise over games.
+
+    Byte-ladder: narrow to the byte containing the k-th bit via cumulative
+    byte popcounts (8 steps), then to the bit within it (8 steps).
+    """
+    count = jnp.zeros_like(k)
+    sel_lo = jnp.zeros_like(lo)
+    sel_hi = jnp.zeros_like(hi)
+    done = jnp.zeros_like(k, dtype=jnp.bool_)
+    for byte in range(8):
+        word = lo if byte < 4 else hi
+        byte_bits = ((word >> ((byte % 4) * 8)) & jnp.asarray(0xFF, _U32))
+        n = jax.lax.population_count(byte_bits).astype(jnp.int32)
+        in_byte = (~done) & (k < count + n)
+        rel = k - count  # 0-based index within this byte where in_byte
+        cum = jnp.zeros_like(k)
+        chosen_bit = jnp.zeros_like(byte_bits)
+        for bit in range(8):
+            b = (byte_bits >> bit) & jnp.asarray(1, _U32)
+            hit = in_byte & (b == 1) & (cum == rel)
+            chosen_bit = jnp.where(
+                hit, jnp.asarray(1 << bit, _U32), chosen_bit
+            )
+            cum = cum + b.astype(jnp.int32)
+        shifted = chosen_bit << ((byte % 4) * 8)
+        if byte < 4:
+            sel_lo = jnp.where(in_byte, sel_lo | shifted, sel_lo)
+        else:
+            sel_hi = jnp.where(in_byte, sel_hi | shifted, sel_hi)
+        count = count + n
+        done = done | in_byte
+    return sel_lo, sel_hi
+
+
+def _step_kernel(rand_ref, me_lo_ref, me_hi_ref, op_lo_ref, op_hi_ref,
+                 out_me_lo, out_me_hi, out_op_lo, out_op_hi, live_ref):
+    me_lo, me_hi = me_lo_ref[:], me_hi_ref[:]
+    op_lo, op_hi = op_lo_ref[:], op_hi_ref[:]
+
+    lg_lo, lg_hi = _legal(me_lo, me_hi, op_lo, op_hi)
+    has_move = (lg_lo | lg_hi) != 0
+    ol_lo, ol_hi = _legal(op_lo, op_hi, me_lo, me_hi)
+    opp_has = (ol_lo | ol_hi) != 0
+    live = has_move | opp_has
+
+    # one uniform u32 per game (generated outside: pltpu.prng_seed has no
+    # CPU-interpret lowering, and a single u32 is 65x less RNG work than the
+    # unfused path's per-action floats)
+    rand = rand_ref[:]
+    n = jnp.maximum(_popcount(lg_lo, lg_hi), 1)
+    k = (rand % n.astype(_U32)).astype(jnp.int32)
+    mv_lo, mv_hi = _kth_set_bit(lg_lo, lg_hi, k)
+
+    f_lo, f_hi = _flips(me_lo, me_hi, op_lo, op_hi, mv_lo, mv_hi)
+
+    # placement (has_move) / pass (no move but opponent has): both swap.
+    place = has_move & live
+    swap = live
+    new_me_lo = jnp.where(place, op_lo & ~f_lo, op_lo)
+    new_me_hi = jnp.where(place, op_hi & ~f_hi, op_hi)
+    new_op_lo = jnp.where(place, me_lo | mv_lo | f_lo, me_lo)
+    new_op_hi = jnp.where(place, me_hi | mv_hi | f_hi, me_hi)
+
+    out_me_lo[:] = jnp.where(swap, new_me_lo, me_lo)
+    out_me_hi[:] = jnp.where(swap, new_me_hi, me_hi)
+    out_op_lo[:] = jnp.where(swap, new_op_lo, op_lo)
+    out_op_hi[:] = jnp.where(swap, new_op_hi, op_hi)
+    live_ref[:] = live.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def random_step(boards_u32: jnp.ndarray, rng: jax.Array,
+                interpret: bool = False):
+    """Advance every game one random ply.
+
+    boards_u32: (4, R, 128) uint32 — [me_lo, me_hi, opp_lo, opp_hi] with the
+    batch reshaped to (R, 128). rng: jax PRNG key (fresh per ply).
+    Returns (new_boards (4, R, 128), live (R, 128) int32) where live marks
+    games that were not yet terminal before the step (terminal boards pass
+    through unchanged).
+    """
+    shape = boards_u32.shape[1:]
+    rand = jax.random.bits(rng, shape, dtype=jnp.uint32)
+    out = pl.pallas_call(
+        _step_kernel,
+        out_shape=(
+            *(jax.ShapeDtypeStruct(shape, _U32) for _ in range(4)),
+            jax.ShapeDtypeStruct(shape, jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM)
+            for _ in range(5)
+        ],
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(5)
+        ),
+        interpret=interpret,
+    )(rand, *(boards_u32[i] for i in range(4)))
+    new_boards = jnp.stack(out[:4])
+    return new_boards, out[4]
+
+
+def pack_boards(me: jnp.ndarray, opp: jnp.ndarray) -> jnp.ndarray:
+    """(B, 2) uint32 pairs -> (4, B//128, 128) kernel layout."""
+    B = me.shape[0]
+    assert B % 128 == 0, "batch must be a multiple of 128"
+    r = B // 128
+    return jnp.stack([
+        me[:, 0].reshape(r, 128),
+        me[:, 1].reshape(r, 128),
+        opp[:, 0].reshape(r, 128),
+        opp[:, 1].reshape(r, 128),
+    ])
+
+
+def unpack_boards(packed: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    r = packed.shape[1]
+    B = r * 128
+    me = jnp.stack([packed[0].reshape(B), packed[1].reshape(B)], axis=-1)
+    opp = jnp.stack([packed[2].reshape(B), packed[3].reshape(B)], axis=-1)
+    return me, opp
+
+
+@functools.partial(jax.jit, static_argnames=("max_plies", "interpret"))
+def play_random_games(boards_u32: jnp.ndarray, seed: jnp.ndarray,
+                      max_plies: int = 132, interpret: bool = False):
+    """Play all games to termination with the fused kernel.
+
+    Returns (final boards, total env steps, plies used)."""
+    key0 = jax.random.PRNGKey(seed)
+
+    def cond(carry):
+        boards, key, t, steps, any_live = carry
+        return any_live & (t < max_plies)
+
+    def body(carry):
+        boards, key, t, steps, _ = carry
+        key, sub = jax.random.split(key)
+        boards, live = random_step(boards, sub, interpret=interpret)
+        n_live = live.sum()
+        return boards, key, t + 1, steps + n_live, n_live > 0
+
+    boards, _, t, steps, _ = jax.lax.while_loop(
+        cond, body,
+        (boards_u32, key0, jnp.int32(0), jnp.int32(0), jnp.bool_(True)),
+    )
+    return boards, steps, t
