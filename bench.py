@@ -243,16 +243,23 @@ def main() -> None:
     parser.add_argument("--simulations", type=int, default=25)
     parser.add_argument("--blocks", type=int, default=10)
     parser.add_argument("--filters", type=int, default=128)
-    parser.add_argument("--pallas", action="store_true",
-                        help="random mode: use the fused Pallas step kernel")
+    parser.add_argument("--pallas", action=argparse.BooleanOptionalAction,
+                        default=None,
+                        help="random mode: use the fused Pallas step kernel "
+                             "(default: on for TPU, off otherwise)")
     args = parser.parse_args()
-    if args.batch is None:
-        args.batch = {"random": 262144, "mcts": 1024, "train": 100}[args.mode]
-
     import jax
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.pallas is None:
+        args.pallas = jax.devices()[0].platform == "tpu"
+    if args.batch is None:
+        args.batch = {
+            "random": 1048576 if args.pallas else 262144,
+            "mcts": 1024,
+            "train": 100,
+        }[args.mode]
     import jax.numpy as jnp
 
     from othello_reinforcement_learning_test_tpu.ops.bitboard import get_engine

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Learning-curve harness: evaluate every checkpoint in a directory against
+Random and Greedy baselines and emit a curve JSON + console table.
+
+This is the evidence artifact for learning-curve parity with the reference
+regime (BASELINE.md: win rate vs Greedy over training; the reference's
+illustrative numbers are 75% vs Random / 65% vs Greedy at iteration 100 with
+100-sim eval, README.md:142-148).
+"""
+
+import argparse
+import json
+import os
+import re
+from datetime import datetime
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint-dir", required=True)
+    parser.add_argument("--games", type=int, default=32)
+    parser.add_argument("--simulations", type=int, default=50)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--device", choices=["auto", "cpu"], default="auto")
+    parser.add_argument("--output", default=None)
+    args = parser.parse_args()
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from othello_reinforcement_learning_test_tpu.evaluation import (
+        GreedyPlayer,
+        MCTSPlayer,
+        RandomPlayer,
+        evaluate_player,
+    )
+
+    ckpts = []
+    for e in sorted(os.listdir(args.checkpoint_dir)):
+        path = os.path.join(args.checkpoint_dir, e)
+        if not os.path.isdir(path):
+            continue
+        m = re.match(r"checkpoint_iter_(\d+)", e)
+        if m:
+            ckpts.append((int(m.group(1)), path))
+    if not ckpts:
+        raise SystemExit(f"no checkpoints under {args.checkpoint_dir}")
+
+    curve = []
+    rng = jax.random.PRNGKey(args.seed)
+    print(f"{'iter':>6} {'vs Random':>10} {'vs Greedy':>10}")
+    player = None
+    for iteration, path in ckpts:
+        player = MCTSPlayer.from_checkpoint(
+            path, num_simulations=args.simulations,
+            engine=None if player is None else player.engine,
+        )
+        engine = player.engine
+        row = {"iteration": iteration, "checkpoint": path}
+        for opp_cls, name in ((RandomPlayer, "random"), (GreedyPlayer, "greedy")):
+            rng, sub = jax.random.split(rng)
+            out = evaluate_player(
+                player, opp_cls(engine), engine, num_games=args.games, rng=sub
+            )
+            row[f"win_rate_vs_{name}"] = out["win_rate"]
+            row[f"avg_score_vs_{name}"] = out["avg_score"]
+        curve.append(row)
+        print(
+            f"{iteration:>6} {row['win_rate_vs_random']:>9.1%} "
+            f"{row['win_rate_vs_greedy']:>9.1%}"
+        )
+
+    out_path = args.output or os.path.join(
+        args.checkpoint_dir,
+        f"learning_curve_{datetime.now().strftime('%Y%m%d_%H%M%S')}.json",
+    )
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "checkpoint_dir": args.checkpoint_dir,
+                "games": args.games,
+                "simulations": args.simulations,
+                "curve": curve,
+            },
+            f,
+            indent=2,
+        )
+    print(f"curve saved to {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -183,19 +183,23 @@ def random_step(boards_u32: jnp.ndarray, rng: jax.Array,
     """
     shape = boards_u32.shape[1:]
     rand = jax.random.bits(rng, shape, dtype=jnp.uint32)
+    # grid over row-blocks: ~10 u32 I/O buffers per block plus flood
+    # temporaries must fit the ~16MB VMEM budget
+    rows = shape[0]
+    block_rows = min(rows, 256)
+    assert rows % block_rows == 0, rows
+    spec = pl.BlockSpec(
+        (block_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
     out = pl.pallas_call(
         _step_kernel,
+        grid=(rows // block_rows,),
         out_shape=(
             *(jax.ShapeDtypeStruct(shape, _U32) for _ in range(4)),
             jax.ShapeDtypeStruct(shape, jnp.int32),
         ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM)
-            for _ in range(5)
-        ],
-        out_specs=tuple(
-            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(5)
-        ),
+        in_specs=[spec] * 5,
+        out_specs=(spec,) * 5,
         interpret=interpret,
     )(rand, *(boards_u32[i] for i in range(4)))
     new_boards = jnp.stack(out[:4])
