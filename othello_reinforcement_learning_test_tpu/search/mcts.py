@@ -54,6 +54,11 @@ class Tree(struct.PyTreeNode):
     value_sum: jnp.ndarray  # (N,) float32 — from the node's own perspective
     prior: jnp.ndarray  # (N, A) float32
     children: jnp.ndarray  # (N, A) int32, NO_CHILD when absent
+    # per-edge statistics stored AT THE PARENT so selection is one contiguous
+    # row read instead of A scattered gathers through `children` (gathers are
+    # the TPU bottleneck); values are from the CHILD's own perspective.
+    child_visit: jnp.ndarray  # (N, A) int32
+    child_value_sum: jnp.ndarray  # (N, A) float32
     legal: jnp.ndarray  # (N, A) bool
     terminal: jnp.ndarray  # (N,) bool
     term_value: jnp.ndarray  # (N,) float32 — game winner at terminal nodes
@@ -72,6 +77,7 @@ class _Selection(NamedTuple):
     parent: jnp.ndarray  # () int32 — node to expand from (or terminal node)
     action: jnp.ndarray  # () int32
     path: jnp.ndarray  # (N,) int32 — visited nodes, -1 padded
+    path_action: jnp.ndarray  # (N,) int32 — action taken FROM path[i]
     path_len: jnp.ndarray  # () int32
     is_term_leaf: jnp.ndarray  # () bool — stopped at an existing terminal node
 
@@ -98,13 +104,12 @@ def add_dirichlet_noise(
 
 
 def _puct_scores(tree: Tree, node: jnp.ndarray, c_puct: float) -> jnp.ndarray:
-    """(A,) selection scores at ``node`` — canonical AlphaZero PUCT."""
-    child = tree.children[node]
-    has_child = child != NO_CHILD
-    safe_child = jnp.maximum(child, 0)
-    c_visit = jnp.where(has_child, tree.visit[safe_child], 0)
-    c_sum = jnp.where(has_child, tree.value_sum[safe_child], 0.0)
-    # child values are stored from the child's own (opponent) perspective
+    """(A,) selection scores at ``node`` — canonical AlphaZero PUCT.
+
+    Row reads only (edge stats live at the parent) — no scattered gathers."""
+    c_visit = tree.child_visit[node]
+    c_sum = tree.child_value_sum[node]
+    # edge values are stored from the child's own (opponent) perspective
     q = jnp.where(c_visit > 0, -c_sum / jnp.maximum(c_visit, 1), 0.0)
     u = (
         c_puct
@@ -121,17 +126,21 @@ def _select(tree: Tree, c_puct: float) -> _Selection:
     n_slots = tree.visit.shape[0]
     path0 = jnp.full((n_slots,), -1, jnp.int32)
     path0 = path0.at[0].set(0)
+    pact0 = jnp.full((n_slots,), -1, jnp.int32)
 
     def cond(carry):
-        node, action, path, depth, stop_term = carry
+        node, action, path, pact, depth, stop_term = carry
         return ~stop_term & (action == NO_CHILD)
 
     def body(carry):
-        node, _, path, depth, _ = carry
+        node, _, path, pact, depth, _ = carry
         scores = _puct_scores(tree, node, c_puct)
         act = jnp.argmax(scores).astype(jnp.int32)
         child = tree.children[node, act]
         descend = child != NO_CHILD
+        # the edge taken from this node (recorded for per-edge backup; the
+        # final unexpanded edge is recorded by the caller after expansion)
+        pact = jnp.where(descend, pact.at[depth].set(act), pact)
         nxt = jnp.where(descend, child, node)
         depth2 = depth + descend.astype(jnp.int32)
         path = jnp.where(descend, path.at[depth2].set(nxt), path)
@@ -139,15 +148,18 @@ def _select(tree: Tree, c_puct: float) -> _Selection:
         # when we descend into an existing non-terminal child, continue
         # (action reset to NO_CHILD); otherwise we found the edge to expand
         action_out = jnp.where(descend, NO_CHILD, act)
-        return nxt, action_out, path, depth2, stop_term
+        return nxt, action_out, path, pact, depth2, stop_term
 
-    node, action, path, depth, stop_term = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), NO_CHILD, path0, jnp.int32(0), tree.terminal[0])
+    node, action, path, pact, depth, stop_term = jax.lax.while_loop(
+        cond,
+        body,
+        (jnp.int32(0), NO_CHILD, path0, pact0, jnp.int32(0), tree.terminal[0]),
     )
     return _Selection(
         parent=node,
         action=jnp.where(stop_term | (action == NO_CHILD), jnp.int32(0), action),
         path=path,
+        path_action=pact,
         path_len=depth + 1,
         is_term_leaf=stop_term | (action == NO_CHILD),
     )
@@ -192,6 +204,10 @@ def _expand_and_backup(
 
     # Full backup path: selection path plus the new leaf when expanding.
     path = jnp.where(expand, sel.path.at[sel.path_len].set(new_idx), sel.path)
+    pact = jnp.where(
+        expand, sel.path_action.at[sel.path_len - 1].set(sel.action),
+        sel.path_action,
+    )
     path_len = sel.path_len + expand.astype(jnp.int32)
 
     idx = jnp.arange(path.shape[0], dtype=jnp.int32)
@@ -202,7 +218,25 @@ def _expand_and_backup(
     safe = jnp.where(on_path, path, 0)
     visit = tree.visit.at[safe].add(on_path.astype(jnp.int32))
     value_sum = tree.value_sum.at[safe].add(jnp.where(on_path, signed, 0.0))
-    return tree.replace(visit=visit, value_sum=value_sum)
+    # per-edge stats: edge (path[i], pact[i]) leads to path[i+1]; it stores
+    # the value from the CHILD's perspective (signed at depth i+1)
+    on_edge = idx < (path_len - 1)
+    e_node = jnp.where(on_edge, path, 0)
+    e_act = jnp.where(on_edge, pact, 0)
+    child_signed = jnp.where((path_len - 2 - idx) % 2 == 0, leaf_value,
+                             -leaf_value)
+    child_visit = tree.child_visit.at[e_node, e_act].add(
+        on_edge.astype(jnp.int32)
+    )
+    child_value_sum = tree.child_value_sum.at[e_node, e_act].add(
+        jnp.where(on_edge, child_signed, 0.0)
+    )
+    return tree.replace(
+        visit=visit,
+        value_sum=value_sum,
+        child_visit=child_visit,
+        child_value_sum=child_value_sum,
+    )
 
 
 def _init_tree(
@@ -223,6 +257,8 @@ def _init_tree(
         value_sum=jnp.zeros((n_slots,), jnp.float32).at[0].set(value),
         prior=jnp.zeros((n_slots, num_actions), jnp.float32).at[0].set(prior),
         children=jnp.full((n_slots, num_actions), NO_CHILD),
+        child_visit=jnp.zeros((n_slots, num_actions), jnp.int32),
+        child_value_sum=jnp.zeros((n_slots, num_actions), jnp.float32),
         legal=jnp.zeros((n_slots, num_actions), jnp.bool_).at[0].set(legal),
         terminal=jnp.zeros((n_slots,), jnp.bool_).at[0].set(terminal),
         term_value=jnp.zeros((n_slots,), jnp.float32)
@@ -309,13 +345,12 @@ def search(
     tree, _ = jax.lax.fori_loop(0, num_simulations, sim_body, (tree, rng))
 
     def extract(t: Tree):
-        child = t.children[0]
-        has = child != NO_CHILD
-        safe = jnp.maximum(child, 0)
-        counts = jnp.where(has, t.visit[safe], 0).astype(jnp.float32)
-        c_sum = jnp.where(has, t.value_sum[safe], 0.0)
-        c_vis = jnp.where(has, t.visit[safe], 0)
-        q = jnp.where(c_vis > 0, -c_sum / jnp.maximum(c_vis, 1), 0.0)
+        counts = t.child_visit[0].astype(jnp.float32)
+        q = jnp.where(
+            t.child_visit[0] > 0,
+            -t.child_value_sum[0] / jnp.maximum(t.child_visit[0], 1),
+            0.0,
+        )
         root_val = t.value_sum[0] / jnp.maximum(t.visit[0], 1)
         return counts, root_val, q
 
