@@ -22,6 +22,9 @@ def main() -> None:
     parser.add_argument("--simulations", type=int, default=50)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--device", choices=["auto", "cpu"], default="auto")
+    parser.add_argument("--opening-random-plies", type=int, default=4,
+                        help="randomize the first k plies so deterministic "
+                             "player pairs produce diverse games")
     parser.add_argument("--output", default=None)
     args = parser.parse_args()
 
@@ -62,7 +65,8 @@ def main() -> None:
         for opp_cls, name in ((RandomPlayer, "random"), (GreedyPlayer, "greedy")):
             rng, sub = jax.random.split(rng)
             out = evaluate_player(
-                player, opp_cls(engine), engine, num_games=args.games, rng=sub
+                player, opp_cls(engine), engine, num_games=args.games, rng=sub,
+                opening_random_plies=args.opening_random_plies,
             )
             row[f"win_rate_vs_{name}"] = out["win_rate"]
             row[f"avg_score_vs_{name}"] = out["avg_score"]

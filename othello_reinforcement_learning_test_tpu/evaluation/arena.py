@@ -58,8 +58,18 @@ class Arena:
         self.verbose = verbose
 
     def play_matches(
-        self, player1: Player, player2: Player, num_games: int, rng: jax.Array
+        self,
+        player1: Player,
+        player2: Player,
+        num_games: int,
+        rng: jax.Array,
+        opening_random_plies: int = 0,
     ) -> MatchSummary:
+        """``opening_random_plies`` > 0 randomizes the first k plies uniformly
+        over legal moves for BOTH sides, so deterministic player pairs (e.g.
+        temp-0 MCTS vs Greedy) produce diverse games instead of replaying one
+        game per color — the reference suffers exactly that degeneracy and
+        ducks it by not asserting on win rates (tests/test_eval.py:145-160)."""
         eng = self.engine
         T = max_game_length(eng.size)
         t0 = time.time()
@@ -76,12 +86,20 @@ class Arena:
 
             def body(carry):
                 boards, rng, t = carry
-                rng, k1, k2 = jax.random.split(rng, 3)
+                rng, k1, k2, k3 = jax.random.split(rng, 4)
                 a1 = player1.act(k1, boards)
                 a2 = player2.act(k2, boards)
                 mover_black = boards.move_count % 2 == 0
                 p1_to_move = mover_black == p1_black
                 action = jnp.where(p1_to_move, a1, a2)
+                if opening_random_plies > 0:
+                    legal = eng.legal_actions(boards)
+                    rand_a = jax.random.categorical(
+                        k3, jnp.where(legal, 0.0, -jnp.inf), axis=-1
+                    ).astype(jnp.int32)
+                    action = jnp.where(
+                        boards.move_count < opening_random_plies, rand_a, action
+                    )
                 live = ~eng.is_terminal(boards)
                 nxt, _ = eng.step(boards, action)
                 boards = jax.tree.map(
@@ -159,12 +177,14 @@ def evaluate_player(
     num_games: int = 20,
     rng: jax.Array = None,
     verbose: bool = False,
+    opening_random_plies: int = 0,
 ) -> Dict:
     """Match + dict contract like the reference ``evaluate_player``
     (arena.py:235-271)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     arena = Arena(engine, verbose=verbose)
-    s = arena.play_matches(player, opponent, num_games, rng)
+    s = arena.play_matches(player, opponent, num_games, rng,
+                           opening_random_plies=opening_random_plies)
     return {
         "opponent": opponent.name,
         "num_games": num_games,
