@@ -339,5 +339,8 @@ class AlphaZeroTrainer:
                 self.save_checkpoint(f"checkpoint_iter_{it + 1:06d}")
 
         self.save_checkpoint("final_model")
-        self.writer.close()
+        self.writer.flush()
         return last
+
+    def close(self) -> None:
+        self.writer.close()
