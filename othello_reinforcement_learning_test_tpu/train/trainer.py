@@ -154,6 +154,53 @@ def train_step(
     return new_state, metrics
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "engine", "tx", "batch_size"),
+)
+def train_step_prioritized(
+    model: OthelloResNet,
+    engine: OthelloEngine,
+    tx: optax.GradientTransformation,
+    state: TrainState,
+    buf: buffer_lib.PrioritizedReplayBuffer,
+    rng: jax.Array,
+    batch_size: int,
+) -> Tuple[TrainState, buffer_lib.PrioritizedReplayBuffer, Dict[str, jnp.ndarray]]:
+    """Prioritized variant: proportional sampling with importance-weighted
+    losses, then TD-error priority updates (a real implementation of the
+    reference's uniform-fallback PrioritizedReplayBuffer stub,
+    buffer.py:139-177)."""
+    feats, pi, v, idx, weights = buffer_lib.sample_prioritized(
+        buf, rng, engine, batch_size
+    )
+
+    def weighted_loss(params):
+        (log_probs, value), updates = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            feats,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        pl = -jnp.sum(weights * jnp.sum(pi * log_probs, axis=-1)) / weights.sum()
+        per_sample_vl = (value[:, 0] - v[:, 0]) ** 2
+        vl = jnp.sum(weights * per_sample_vl) / weights.sum()
+        td = jnp.abs(value[:, 0] - v[:, 0])
+        return pl + vl, (pl, vl, updates["batch_stats"], td)
+
+    (total, (pl, vl, new_stats, td)), grads = jax.value_and_grad(
+        weighted_loss, has_aux=True
+    )(state.params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    new_state = state.replace(
+        params=params, batch_stats=new_stats, opt_state=opt_state,
+        step=state.step + 1,
+    )
+    buf = buffer_lib.update_priorities(buf, idx, td)
+    return new_state, buf, {"loss": total, "policy_loss": pl, "value_loss": vl}
+
+
 @functools.lru_cache(maxsize=None)
 def apply_eval(model: OthelloResNet):
     """Stable eval-mode apply wrapper usable as a jit static argument
@@ -205,6 +252,7 @@ class AlphaZeroTrainer:
         self.checkpoint_interval = int(tc.get("checkpoint_interval", 10))
         self.buffer_capacity = int(tc.get("replay_buffer_size", 100_000))
         self.augment = bool(tc.get("augment_symmetries", False))
+        self.prioritized = bool(tc.get("prioritized_replay", False))
 
         mcc = config.get("mcts", {})
         self.num_simulations = int(mcc.get("num_simulations", 25))
@@ -230,7 +278,14 @@ class AlphaZeroTrainer:
             step=jnp.int32(0),
             iteration=jnp.int32(0),
         )
-        self.buffer = buffer_lib.create(self.buffer_capacity, self.engine.num_actions)
+        if self.prioritized:
+            self.buffer = buffer_lib.create_prioritized(
+                self.buffer_capacity, self.engine.num_actions
+            )
+        else:
+            self.buffer = buffer_lib.create(
+                self.buffer_capacity, self.engine.num_actions
+            )
         self._apply_eval = apply_eval(self.model)
         self.log(
             f"model: {self.model.num_blocks} blocks x {self.model.num_filters} "
@@ -288,23 +343,37 @@ class AlphaZeroTrainer:
             jax.block_until_ready(traj.mask)
             sp_time = time.time() - t0
 
-            self.buffer = buffer_lib.add(self.buffer, traj)
+            if self.prioritized:
+                self.buffer = buffer_lib.add_prioritized(self.buffer, traj)
+            else:
+                self.buffer = buffer_lib.add(self.buffer, traj)
 
             t1 = time.time()
             losses = []
             if buffer_lib.is_ready(self.buffer, self.batch_size):
                 for _ in range(self.epochs_per_iter):
                     self.rng, sub = jax.random.split(self.rng)
-                    self.state, metrics = train_step(
-                        self.model,
-                        self.engine,
-                        self.tx,
-                        self.state,
-                        self.buffer,
-                        sub,
-                        batch_size=self.batch_size,
-                        augment=self.augment,
-                    )
+                    if self.prioritized:
+                        self.state, self.buffer, metrics = train_step_prioritized(
+                            self.model,
+                            self.engine,
+                            self.tx,
+                            self.state,
+                            self.buffer,
+                            sub,
+                            batch_size=self.batch_size,
+                        )
+                    else:
+                        self.state, metrics = train_step(
+                            self.model,
+                            self.engine,
+                            self.tx,
+                            self.state,
+                            self.buffer,
+                            sub,
+                            batch_size=self.batch_size,
+                            augment=self.augment,
+                        )
                     losses.append(metrics)
             jax.block_until_ready(self.state.params)
             tr_time = time.time() - t1

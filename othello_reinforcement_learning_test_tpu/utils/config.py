@@ -32,6 +32,7 @@ DEFAULTS: Dict[str, Dict[str, Any]] = {
         "checkpoint_interval": 10,
         "replay_buffer_size": 100_000,
         "augment_symmetries": False,
+        "prioritized_replay": False,
     },
     "mcts": {
         "num_simulations": 25,
