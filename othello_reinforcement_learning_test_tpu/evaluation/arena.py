@@ -9,6 +9,7 @@ whole match is a single XLA program.
 
 from __future__ import annotations
 
+import functools
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List
@@ -50,6 +51,63 @@ class MatchSummary:
     results: List[MatchResult] = field(default_factory=list)
 
 
+@functools.lru_cache(maxsize=None)
+def _compiled_match(eng, p1_fn, p2_fn, num_games: int,
+                    opening_random_plies: int):
+    """Jitted match program over (rng, p1_params, p2_params)."""
+    T = max_game_length(eng.size)
+    p1_black = (jnp.arange(num_games) % 2) == 0
+
+    @jax.jit
+    def match(rng, p1_params, p2_params):
+        boards = eng.initial_state((num_games,))
+
+        def cond(carry):
+            boards, rng, t = carry
+            return (~eng.is_terminal(boards)).any() & (t < T)
+
+        def body(carry):
+            boards, rng, t = carry
+            rng, k1, k2, k3 = jax.random.split(rng, 4)
+            a1 = p1_fn(p1_params, k1, boards)
+            a2 = p2_fn(p2_params, k2, boards)
+            mover_black = boards.move_count % 2 == 0
+            p1_to_move = mover_black == p1_black
+            action = jnp.where(p1_to_move, a1, a2)
+            if opening_random_plies > 0:
+                legal = eng.legal_actions(boards)
+                rand_a = jax.random.categorical(
+                    k3, jnp.where(legal, 0.0, -jnp.inf), axis=-1
+                ).astype(jnp.int32)
+                action = jnp.where(
+                    boards.move_count < opening_random_plies, rand_a, action
+                )
+            live = ~eng.is_terminal(boards)
+            nxt, _ = eng.step(boards, action)
+            boards = jax.tree.map(
+                lambda n, o: jnp.where(
+                    live.reshape(live.shape + (1,) * (n.ndim - live.ndim)), n, o
+                ),
+                nxt,
+                boards,
+            )
+            return boards, rng, t + 1
+
+        boards, _, t = jax.lax.while_loop(cond, body, (boards, rng, 0))
+        w_mover = eng.winner(boards)  # from final side-to-move
+        final_parity = boards.move_count % 2
+        w_black = jnp.where(final_parity == 0, w_mover, -w_mover)
+        w_p1 = jnp.where(p1_black, w_black, -w_black)
+        c_me, c_opp = eng.stone_counts(boards)
+        black_count = jnp.where(final_parity == 0, c_me, c_opp)
+        white_count = jnp.where(final_parity == 0, c_opp, c_me)
+        p1_score = jnp.where(p1_black, black_count, white_count)
+        p2_score = jnp.where(p1_black, white_count, black_count)
+        return w_p1, p1_score, p2_score, boards.move_count
+
+    return match
+
+
 class Arena:
     """Plays batched matches between two players (reference arena.py:54-232)."""
 
@@ -71,59 +129,16 @@ class Arena:
         game per color — the reference suffers exactly that degeneracy and
         ducks it by not asserting on win rates (tests/test_eval.py:145-160)."""
         eng = self.engine
-        T = max_game_length(eng.size)
         t0 = time.time()
-
-        # player1 takes black on even game indices (reference arena.py:174-178)
-        p1_black = (jnp.arange(num_games) % 2) == 0
-
-        def match(rng):
-            boards = eng.initial_state((num_games,))
-
-            def cond(carry):
-                boards, rng, t = carry
-                return (~eng.is_terminal(boards)).any() & (t < T)
-
-            def body(carry):
-                boards, rng, t = carry
-                rng, k1, k2, k3 = jax.random.split(rng, 4)
-                a1 = player1.act(k1, boards)
-                a2 = player2.act(k2, boards)
-                mover_black = boards.move_count % 2 == 0
-                p1_to_move = mover_black == p1_black
-                action = jnp.where(p1_to_move, a1, a2)
-                if opening_random_plies > 0:
-                    legal = eng.legal_actions(boards)
-                    rand_a = jax.random.categorical(
-                        k3, jnp.where(legal, 0.0, -jnp.inf), axis=-1
-                    ).astype(jnp.int32)
-                    action = jnp.where(
-                        boards.move_count < opening_random_plies, rand_a, action
-                    )
-                live = ~eng.is_terminal(boards)
-                nxt, _ = eng.step(boards, action)
-                boards = jax.tree.map(
-                    lambda n, o: jnp.where(
-                        live.reshape(live.shape + (1,) * (n.ndim - live.ndim)), n, o
-                    ),
-                    nxt,
-                    boards,
-                )
-                return boards, rng, t + 1
-
-            boards, _, t = jax.lax.while_loop(cond, body, (boards, rng, 0))
-            w_mover = eng.winner(boards)  # from final side-to-move
-            final_parity = boards.move_count % 2
-            w_black = jnp.where(final_parity == 0, w_mover, -w_mover)
-            w_p1 = jnp.where(p1_black, w_black, -w_black)
-            c_me, c_opp = eng.stone_counts(boards)
-            black_count = jnp.where(final_parity == 0, c_me, c_opp)
-            white_count = jnp.where(final_parity == 0, c_opp, c_me)
-            p1_score = jnp.where(p1_black, black_count, white_count)
-            p2_score = jnp.where(p1_black, white_count, black_count)
-            return w_p1, p1_score, p2_score, boards.move_count
-
-        w_p1, p1_score, p2_score, moves = jax.jit(match)(rng)
+        p1_fn, p1_params = player1.stateless()
+        p2_fn, p2_params = player2.stateless()
+        # one compiled match program per (player types, engine, sizes) —
+        # weights are traced arguments, so evaluating N checkpoints reuses
+        # one compilation
+        match = _compiled_match(
+            eng, p1_fn, p2_fn, num_games, opening_random_plies
+        )
+        w_p1, p1_score, p2_score, moves = match(rng, p1_params, p2_params)
         w_p1, p1_score, p2_score, moves = jax.device_get(
             (w_p1, p1_score, p2_score, moves)
         )
@@ -162,7 +177,7 @@ class Arena:
         return summary
 
     @staticmethod
-    def _print_summary(s: MatchSummary) -> None:
+    def _print_summary(s: MatchSummary) -> None:  # noqa: D102
         print(
             f"{s.player1} vs {s.player2}: {s.wins}W-{s.losses}L-{s.draws}D "
             f"({s.win_rate:.1%}), avg score {s.avg_score:.1f}, "

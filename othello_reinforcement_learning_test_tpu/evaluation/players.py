@@ -27,6 +27,11 @@ class Player:
 
     ``act`` must be jax-traceable so arena loops can jit around it
     (exception: ``HumanPlayer``, host-only).
+
+    ``stateless()`` optionally returns ``(fn, params)`` with a *stable,
+    hashable* ``fn(params, rng, boards)`` so arenas can jit one match
+    program per player-type pair and swap weights without recompiling
+    (critical when evaluating many checkpoints).
     """
 
     name = "player"
@@ -34,8 +39,63 @@ class Player:
     def act(self, rng: jax.Array, boards: Board) -> jnp.ndarray:
         raise NotImplementedError
 
+    def stateless(self):
+        """Default: wrap ``act`` (per-instance fn — no cross-instance jit
+        cache reuse)."""
+        return (lambda params, rng, boards: self.act(rng, boards)), ()
+
     def reset(self) -> None:  # session hook (reference players.py:44-47)
         pass
+
+
+@functools.lru_cache(maxsize=None)
+def _random_act_fn(engine: OthelloEngine):
+    def fn(params, rng, boards):
+        legal = engine.legal_actions(boards)
+        logits = jnp.where(legal, 0.0, -jnp.inf)
+        return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _greedy_act_fn(engine: OthelloEngine):
+    def fn(params, rng, boards):
+        legal = engine.legal_actions(boards)
+        n_sq = engine.pass_action
+        actions = jnp.arange(n_sq, dtype=jnp.int32)
+
+        def flips_for_action(a):
+            move = bits.bit(
+                engine.action_to_bitpos(jnp.full(boards.move_count.shape, a))
+            )
+            return bits.popcount(engine.flips(boards.me, boards.opp, move))
+
+        flip_counts = jax.vmap(flips_for_action, out_axes=-1)(actions)
+        gains = jnp.where(legal[..., :n_sq], flip_counts + 1, -1)
+        best_sq = jnp.argmax(gains, axis=-1).astype(jnp.int32)
+        must_pass = legal[..., n_sq]
+        return jnp.where(must_pass, jnp.int32(engine.pass_action), best_sq)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _mcts_act_fn(engine: OthelloEngine, apply_fn, num_simulations: int,
+                 c_puct: float):
+    def fn(variables, rng, boards):
+        res = mcts.search(
+            engine,
+            lambda x: apply_fn(variables, x),
+            boards,
+            rng,
+            num_simulations=num_simulations,
+            c_puct=c_puct,
+            add_noise=False,
+        )
+        return mcts.best_action(res.visit_counts, res.legal)
+
+    return fn
 
 
 class RandomPlayer(Player):
@@ -47,9 +107,10 @@ class RandomPlayer(Player):
         self.engine = engine
 
     def act(self, rng: jax.Array, boards: Board) -> jnp.ndarray:
-        legal = self.engine.legal_actions(boards)
-        logits = jnp.where(legal, 0.0, -jnp.inf)
-        return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+        return _random_act_fn(self.engine)((), rng, boards)
+
+    def stateless(self):
+        return _random_act_fn(self.engine), ()
 
 
 class GreedyPlayer(Player):
@@ -67,21 +128,10 @@ class GreedyPlayer(Player):
         self.engine = engine
 
     def act(self, rng: jax.Array, boards: Board) -> jnp.ndarray:
-        eng = self.engine
-        legal = eng.legal_actions(boards)  # (B, A)
-        n_sq = eng.pass_action
-        actions = jnp.arange(n_sq, dtype=jnp.int32)
+        return _greedy_act_fn(self.engine)((), rng, boards)
 
-        def flips_for_action(a):
-            move = bits.bit(eng.action_to_bitpos(jnp.full(boards.move_count.shape, a)))
-            return bits.popcount(eng.flips(boards.me, boards.opp, move))
-
-        flip_counts = jax.vmap(flips_for_action, out_axes=-1)(actions)  # (B, A-1)
-        gains = flip_counts + 1
-        gains = jnp.where(legal[..., :n_sq], gains, -1)
-        best_sq = jnp.argmax(gains, axis=-1).astype(jnp.int32)
-        must_pass = legal[..., n_sq]
-        return jnp.where(must_pass, jnp.int32(eng.pass_action), best_sq)
+    def stateless(self):
+        return _greedy_act_fn(self.engine), ()
 
 
 class MCTSPlayer(Player):
@@ -104,16 +154,16 @@ class MCTSPlayer(Player):
         self.c_puct = c_puct
 
     def act(self, rng: jax.Array, boards: Board) -> jnp.ndarray:
-        res = mcts.search(
-            self.engine,
-            lambda x: self.apply_fn(self.variables, x),
-            boards,
-            rng,
-            num_simulations=self.num_simulations,
-            c_puct=self.c_puct,
-            add_noise=False,
+        fn, params = self.stateless()
+        return fn(params, rng, boards)
+
+    def stateless(self):
+        return (
+            _mcts_act_fn(
+                self.engine, self.apply_fn, self.num_simulations, self.c_puct
+            ),
+            self.variables,
         )
-        return mcts.best_action(res.visit_counts, res.legal)
 
     @classmethod
     def from_checkpoint(
