@@ -250,6 +250,12 @@ def main() -> None:
     args = parser.parse_args()
     import jax
 
+    from othello_reinforcement_learning_test_tpu.utils import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if args.pallas is None:

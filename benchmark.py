@@ -56,6 +56,12 @@ def bench_native(n_games: int) -> None:
 
 def bench_jax(batch: int, repeats: int) -> None:
     import jax
+
+    from othello_reinforcement_learning_test_tpu.utils import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from othello_reinforcement_learning_test_tpu.ops.bitboard import get_engine

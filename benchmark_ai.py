@@ -19,10 +19,19 @@ def main() -> None:
     parser.add_argument("--simulations", type=int, default=100)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--output-dir", default="data/benchmark")
+    parser.add_argument("--opening-random-plies", type=int, default=0,
+                        help="randomize first k plies (0 = reference-faithful "
+                             "deterministic games)")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
 
     import jax
+
+    from othello_reinforcement_learning_test_tpu.utils import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -50,7 +59,10 @@ def main() -> None:
     }
     for opponent in (RandomPlayer(engine), GreedyPlayer(engine)):
         rng, sub = jax.random.split(rng)
-        s = arena.play_matches(player, opponent, args.games, sub)
+        s = arena.play_matches(
+            player, opponent, args.games, sub,
+            opening_random_plies=args.opening_random_plies,
+        )
         scores = [r.player1_score for r in s.results]
         report["results"][opponent.name] = {
             "wins": s.wins,

@@ -21,6 +21,12 @@ def main() -> None:
     args = parser.parse_args()
 
     import jax
+
+    from othello_reinforcement_learning_test_tpu.utils import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     if args.platform:

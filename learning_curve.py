@@ -30,6 +30,12 @@ def main() -> None:
 
     import jax
 
+    from othello_reinforcement_learning_test_tpu.utils import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
 

@@ -26,6 +26,9 @@ import jax
 def _maybe_force_cpu(device: str) -> None:
     if device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    from .utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
 
 def set_seed(seed: int) -> jax.Array:

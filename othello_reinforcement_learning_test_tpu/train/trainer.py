@@ -337,6 +337,8 @@ class AlphaZeroTrainer:
         episodes = episodes_per_iter or self.episodes_per_iter
         start_iter = int(self.state.iteration)
         last: Dict[str, float] = {}
+        recent_iter_times: list = []
+        recent_losses: list = []
         for it in range(start_iter, num_iterations):
             t0 = time.time()
             traj = self.run_self_play(episodes)
@@ -398,10 +400,22 @@ class AlphaZeroTrainer:
                 self.writer.scalar(k, v, it + 1)
             self.writer.flush()
             last = scalars
+            # console UX: ETA from recent iteration times + loss trend arrow
+            # (reference trainer.py:93-134,165-232)
+            recent_iter_times.append(sp_time + tr_time)
+            recent_iter_times = recent_iter_times[-10:]
+            recent_losses.append(scalars["Loss/train"])
+            recent_losses = recent_losses[-5:]
+            eta = (num_iterations - it - 1) * (
+                sum(recent_iter_times) / len(recent_iter_times)
+            )
+            trend = ""
+            if len(recent_losses) >= 2:
+                trend = " ↓" if recent_losses[-1] < recent_losses[0] else " ↑"
             self.log(
-                f"iter {it + 1}/{num_iterations} loss={scalars['Loss/train']:.4f} "
-                f"self_play={sp_time:.1f}s train={tr_time:.1f}s "
-                f"buffer={int(stats['size'])}"
+                f"iter {it + 1}/{num_iterations} loss={scalars['Loss/train']:.4f}"
+                f"{trend} self_play={sp_time:.1f}s train={tr_time:.1f}s "
+                f"buffer={int(stats['size'])} eta={eta / 60:.1f}m"
             )
 
             if (it + 1) % self.checkpoint_interval == 0:
