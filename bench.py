@@ -250,14 +250,14 @@ def main() -> None:
     args = parser.parse_args()
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
     from othello_reinforcement_learning_test_tpu.utils import (
         enable_compilation_cache,
     )
 
     enable_compilation_cache()
-
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
     if args.pallas is None:
         args.pallas = jax.devices()[0].platform == "tpu"
     if args.batch is None:

@@ -27,14 +27,14 @@ def main() -> None:
 
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
     from othello_reinforcement_learning_test_tpu.utils import (
         enable_compilation_cache,
     )
 
     enable_compilation_cache()
-
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
 
     from othello_reinforcement_learning_test_tpu.evaluation import (
         Arena,

@@ -22,15 +22,15 @@ def main() -> None:
 
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
     from othello_reinforcement_learning_test_tpu.utils import (
         enable_compilation_cache,
     )
 
     enable_compilation_cache()
     import jax.numpy as jnp
-
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
 
     from othello_reinforcement_learning_test_tpu.models import (
         OthelloResNet,

@@ -30,14 +30,14 @@ def main() -> None:
 
     import jax
 
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     from othello_reinforcement_learning_test_tpu.utils import (
         enable_compilation_cache,
     )
 
     enable_compilation_cache()
-
-    if args.device == "cpu":
-        jax.config.update("jax_platforms", "cpu")
 
     from othello_reinforcement_learning_test_tpu.evaluation import (
         GreedyPlayer,

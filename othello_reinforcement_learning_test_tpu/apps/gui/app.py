@@ -45,7 +45,9 @@ class OthelloApp:
         self.btn_undo = tk.Button(btns, text="Undo", command=self.undo)
         self.btn_ai = tk.Button(btns, text="AI Move", command=self.ai_move)
         self.btn_hint = tk.Button(btns, text="Hint", command=self.show_hint)
-        for b in (self.btn_new, self.btn_undo, self.btn_ai, self.btn_hint):
+        self.btn_pass = tk.Button(btns, text="Pass", command=self.pass_move)
+        for b in (self.btn_new, self.btn_undo, self.btn_ai, self.btn_hint,
+                  self.btn_pass):
             b.pack(fill="x", pady=2)
 
         tk.Label(side, text="AI simulations").pack(anchor="w", pady=(10, 0))
@@ -83,13 +85,31 @@ class OthelloApp:
         self.btn_ai.config(state="normal" if ai_ok else "disabled")
         self.btn_hint.config(
             state="normal" if state["model_loaded"] and not thinking else "disabled")
+        # pass is the only legal action when no square is playable
+        must_pass = (
+            not state["is_game_over"]
+            and state["legal_moves"] == [self.gm.engine.pass_action]
+        )
+        self.btn_pass.config(
+            state="normal" if must_pass and not thinking else "disabled")
 
     # -- actions -----------------------------------------------------------
     def new_game(self) -> None:
-        self.gm.new_game()
+        ok, err = self.gm.new_game()
         self._evals = None
-        self.info.set_message("")
+        self.info.set_message("" if ok else (err or ""))
         self.refresh()
+
+    def pass_move(self) -> None:
+        ok, err = self.gm.make_move(self.gm.engine.pass_action)
+        if not ok:
+            self.info.set_message(err or "cannot pass")
+            return
+        self._evals = None
+        self.info.set_message("passed")
+        self.refresh()
+        if self.gm.state_dict()["model_loaded"] and not self.gm.is_game_over():
+            self.root.after(500, self.ai_move)
 
     def undo(self) -> None:
         ok, err = self.gm.undo()

@@ -33,7 +33,9 @@ def create_app(gm: Optional[GameManager] = None, model_dir: str = "data/models")
 
     @app.post("/api/game/new", response_model=schemas.GameState)
     def new_game():
-        gm.new_game()
+        ok, err = gm.new_game()
+        if not ok:
+            raise HTTPException(409, err)
         return state()
 
     @app.get("/api/game/state", response_model=schemas.GameState)

@@ -46,13 +46,18 @@ class GameManager:
         self.new_game()
 
     # -- session -----------------------------------------------------------
-    def new_game(self) -> None:
+    def new_game(self) -> Tuple[bool, Optional[str]]:
+        """Reset the session; refused while the AI thread is running so a
+        stale background move can't land on the fresh board."""
         with self._lock:
+            if getattr(self, "is_ai_thinking", False):
+                return False, "AI is thinking"
             self.board = self.engine.initial_state((1,))
             self.history: List[Board] = []
             self.last_move: Optional[int] = None
             self.last_ai_move = None
             self.last_error = None
+            return True, None
 
     def _next_rng(self) -> jax.Array:
         self._rng, sub = jax.random.split(self._rng)
@@ -151,6 +156,9 @@ class GameManager:
     def load_model(self, path: str) -> Tuple[bool, Optional[str]]:
         from ...evaluation.players import MCTSPlayer
 
+        with self._lock:
+            if self.is_ai_thinking:
+                return False, "AI is thinking"
         try:
             player = MCTSPlayer.from_checkpoint(
                 path, engine=self.engine, num_simulations=self.ai_simulations
@@ -198,6 +206,7 @@ class GameManager:
 
     def _compute_ai_move(self) -> Tuple[bool, Optional[str]]:
         """Assumes ``is_ai_thinking`` is already set; clears it when done."""
+        self.last_error = None  # a new attempt clears stale errors
         try:
             action = int(np.asarray(self._player.act(self._next_rng(),
                                                      self.board))[0])

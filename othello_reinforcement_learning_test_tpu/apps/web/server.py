@@ -84,8 +84,11 @@ class OthelloRequestHandler(BaseHTTPRequestHandler):
     def _serve_static(self, path: str) -> None:
         if path in ("/", ""):
             path = "/index.html"
-        fs_path = os.path.normpath(os.path.join(STATIC_DIR, path.lstrip("/")))
-        if not fs_path.startswith(os.path.abspath(STATIC_DIR)):
+        static_root = os.path.abspath(STATIC_DIR)
+        fs_path = os.path.abspath(
+            os.path.normpath(os.path.join(static_root, path.lstrip("/")))
+        )
+        if os.path.commonpath([fs_path, static_root]) != static_root:
             return self._error("not found", 404)
         if not os.path.isfile(fs_path):
             return self._error("not found", 404)
@@ -141,7 +144,9 @@ class OthelloRequestHandler(BaseHTTPRequestHandler):
         path = self.path.split("?")[0]
         body = self._read_body()
         if path == "/api/game/new":
-            gm.new_game()
+            ok, err = gm.new_game()
+            if not ok:
+                return self._error(err, 409)
             self._send_json(_game_state(gm))
         elif path == "/api/game/move":
             if "position" not in body:

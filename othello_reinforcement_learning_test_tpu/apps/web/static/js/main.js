@@ -17,6 +17,7 @@ class OthelloApp {
     this.ui.buttons.ai.addEventListener("click", () => this.aiMove());
     this.ui.buttons.hint.addEventListener("click", () => this.hint());
     this.ui.buttons.load.addEventListener("click", () => this.loadModel());
+    this.ui.buttons.pass.addEventListener("click", () => this.passMove());
     this.ui.simsSlider.addEventListener("change", async (e) => {
       const res = await API.setSimulations(Number(e.target.value));
       this.ui.setSimulations(res.num_simulations);
@@ -63,6 +64,20 @@ class OthelloApp {
       const res = await API.move(pos);
       this.render(res.state);
       this.ui.setMessage("");
+      if (this.autoAi && this.state.model_loaded && !res.state.is_game_over) {
+        setTimeout(() => this.aiMove(), 500);
+      }
+    } catch (err) {
+      this.ui.setMessage(err.message, true);
+    }
+  }
+
+  async passMove() {
+    const passAction = this.state.board_size * this.state.board_size;
+    try {
+      const res = await API.move(passAction);
+      this.render(res.state);
+      this.ui.setMessage("passed");
       if (this.autoAi && this.state.model_loaded && !res.state.is_game_over) {
         setTimeout(() => this.aiMove(), 500);
       }

@@ -15,6 +15,7 @@ class UI {
       undo: document.getElementById("btn-undo"),
       ai: document.getElementById("btn-ai"),
       hint: document.getElementById("btn-hint"),
+      pass: document.getElementById("btn-pass"),
       load: document.getElementById("btn-load"),
     };
   }
@@ -35,6 +36,12 @@ class UI {
     this.buttons.ai.disabled = !state.model_loaded || state.is_ai_thinking ||
       state.is_game_over;
     this.buttons.hint.disabled = !state.model_loaded || state.is_ai_thinking;
+    // pass is the only legal action when no square is playable
+    const passAction = state.board_size * state.board_size;
+    const mustPass = !state.is_game_over &&
+      state.legal_moves.length === 1 && state.legal_moves[0] === passAction;
+    this.buttons.pass.hidden = !mustPass;
+    this.buttons.pass.disabled = state.is_ai_thinking;
     this.aiStatus.textContent = state.is_ai_thinking ? "AI thinking…" :
       (state.model_loaded ? `model: ${state.model_path || "(loaded)"}` :
         "no model loaded");

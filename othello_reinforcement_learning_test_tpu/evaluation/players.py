@@ -214,28 +214,27 @@ class MCTSPlayer(Player):
 
 
 class EdaxPlayer(Player):
-    """External Edax engine adapter. The reference ships this as a stub that
-    falls back to random play (players.py:226-262); this adapter drives a
-    real ``edax`` binary over a subprocess when a path is supplied and falls
-    back to random otherwise. Host-side, single-game (not jit-traceable)."""
+    """Placeholder for an external Edax engine adapter.
 
-    name = "Edax"
+    Like the reference (players.py:226-262), the subprocess protocol is NOT
+    implemented and play always falls back to uniform random; the name makes
+    that explicit so arena results can't silently masquerade as wins over a
+    real Edax. ``binary_path`` is recorded for a future adapter."""
+
+    name = "Edax(random-fallback)"
 
     def __init__(self, engine: OthelloEngine, binary_path: Optional[str] = None,
                  level: int = 5):
-        import shutil
-
         self.engine = engine
         self.level = level
-        self.binary = binary_path if binary_path and shutil.which(binary_path) else None
+        self.binary = binary_path
         self._fallback = RandomPlayer(engine)
-        if self.binary is None:
-            self.name = "Edax(random-fallback)"
 
     def act(self, rng: jax.Array, boards: Board) -> jnp.ndarray:
-        # No edax binary in this environment: documented random fallback,
-        # same observable behavior as the reference stub.
         return self._fallback.act(rng, boards)
+
+    def stateless(self):
+        return self._fallback.stateless()
 
 
 class HumanPlayer(Player):

@@ -186,8 +186,12 @@ def random_step(boards_u32: jnp.ndarray, rng: jax.Array,
     # grid over row-blocks: ~10 u32 I/O buffers per block plus flood
     # temporaries must fit the ~16MB VMEM budget
     rows = shape[0]
-    block_rows = min(rows, 256)
-    assert rows % block_rows == 0, rows
+    # largest divisor of rows <= 256 (prefer sublane multiples of 8)
+    block_rows = 1
+    for d in range(min(rows, 256), 0, -1):
+        if rows % d == 0:
+            block_rows = d
+            break
     spec = pl.BlockSpec(
         (block_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )

@@ -156,7 +156,7 @@ def train_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "engine", "tx", "batch_size"),
+    static_argnames=("model", "engine", "tx", "batch_size", "augment"),
 )
 def train_step_prioritized(
     model: OthelloResNet,
@@ -166,14 +166,23 @@ def train_step_prioritized(
     buf: buffer_lib.PrioritizedReplayBuffer,
     rng: jax.Array,
     batch_size: int,
+    augment: bool = False,
 ) -> Tuple[TrainState, buffer_lib.PrioritizedReplayBuffer, Dict[str, jnp.ndarray]]:
     """Prioritized variant: proportional sampling with importance-weighted
     losses, then TD-error priority updates (a real implementation of the
     reference's uniform-fallback PrioritizedReplayBuffer stub,
     buffer.py:139-177)."""
+    rng_sample, rng_aug = jax.random.split(rng)
     feats, pi, v, idx, weights = buffer_lib.sample_prioritized(
-        buf, rng, engine, batch_size
+        buf, rng_sample, engine, batch_size
     )
+    if augment:
+        f8, p8 = engine.symmetries(feats, pi)
+        which = jax.random.randint(rng_aug, (feats.shape[0],), 0, 8)
+        feats = jnp.take_along_axis(
+            f8, which[:, None, None, None, None], axis=1
+        ).squeeze(1)
+        pi = jnp.take_along_axis(p8, which[:, None, None], axis=1).squeeze(1)
 
     def weighted_loss(params):
         (log_probs, value), updates = model.apply(
@@ -261,6 +270,19 @@ class AlphaZeroTrainer:
         self.dirichlet_epsilon = float(mcc.get("dirichlet_epsilon", 0.25))
         spc = config.get("self_play", {})
         self.temperature_threshold = int(spc.get("temperature_threshold", 15))
+        # reference-compat lockstep-batch cap (parallel_self_play chosen when
+        # >1, reference main.py:111-115): self-play runs in chunks of at most
+        # this many games; None/0 = all episodes in one batch (fastest).
+        npg = spc.get("num_parallel_games")
+        self.num_parallel_games = int(npg) if npg else None
+
+        sc_mesh = sc.get("mesh_devices")
+        self.mesh = None
+        if sc_mesh:
+            from ..parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(int(sc_mesh))
+            self.log(f"data-parallel mesh over {int(sc_mesh)} devices")
 
         paths = config.get("paths", {})
         self.checkpoint_dir = paths.get("checkpoint_dir", "data/models")
@@ -313,20 +335,32 @@ class AlphaZeroTrainer:
         return {"params": self.state.params, "batch_stats": self.state.batch_stats}
 
     def run_self_play(self, num_games: int, add_noise: bool = True) -> Trajectory:
-        self.rng, sub = jax.random.split(self.rng)
-        return play_games(
-            self.engine,
-            self._apply_eval,
-            self.variables(),
-            sub,
-            num_games=num_games,
-            num_simulations=self.num_simulations,
-            c_puct=self.c_puct,
-            dirichlet_alpha=self.dirichlet_alpha,
-            dirichlet_epsilon=self.dirichlet_epsilon,
-            temperature_threshold=self.temperature_threshold,
-            add_noise=add_noise,
-        )
+        chunk = self.num_parallel_games or num_games
+        chunks = []
+        remaining = num_games
+        while remaining > 0:
+            n = min(chunk, remaining)
+            self.rng, sub = jax.random.split(self.rng)
+            chunks.append(
+                play_games(
+                    self.engine,
+                    self._apply_eval,
+                    self.variables(),
+                    sub,
+                    num_games=n,
+                    num_simulations=self.num_simulations,
+                    c_puct=self.c_puct,
+                    dirichlet_alpha=self.dirichlet_alpha,
+                    dirichlet_epsilon=self.dirichlet_epsilon,
+                    temperature_threshold=self.temperature_threshold,
+                    add_noise=add_noise,
+                    mesh=self.mesh,
+                )
+            )
+            remaining -= n
+        if len(chunks) == 1:
+            return chunks[0]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
 
     def train(
         self,
@@ -364,6 +398,7 @@ class AlphaZeroTrainer:
                             self.buffer,
                             sub,
                             batch_size=self.batch_size,
+                            augment=self.augment,
                         )
                     else:
                         self.state, metrics = train_step(
@@ -375,6 +410,7 @@ class AlphaZeroTrainer:
                             sub,
                             batch_size=self.batch_size,
                             augment=self.augment,
+                            mesh=self.mesh,
                         )
                     losses.append(metrics)
             jax.block_until_ready(self.state.params)

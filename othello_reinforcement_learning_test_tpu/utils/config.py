@@ -36,6 +36,9 @@ DEFAULTS: Dict[str, Dict[str, Any]] = {
     },
     "mcts": {
         "num_simulations": 25,
+        # accepted for reference-config compatibility; used as the default
+        # --simulations by evaluation tooling, not read by the trainer
+        # (mirrors the reference, where this key is also unread — SURVEY §2)
         "num_simulations_eval": 50,
         "c_puct": 1.0,
         "dirichlet_alpha": 0.3,
@@ -43,9 +46,9 @@ DEFAULTS: Dict[str, Dict[str, Any]] = {
     },
     "self_play": {
         "temperature_threshold": 15,
-        # reference-compat: lockstep game batching knob (parallel_self_play
-        # chosen when >1, main.py:111-115). Here all self-play is batched;
-        # this key only overrides episodes-per-batch if set.
+        # reference-compat lockstep-batch cap (reference main.py:111-115):
+        # self-play runs in chunks of at most this many games per jitted
+        # batch. None = all episodes in one batch (fastest on TPU).
         "num_parallel_games": None,
     },
     "paths": {
@@ -56,9 +59,11 @@ DEFAULTS: Dict[str, Dict[str, Any]] = {
     "system": {
         "device": "auto",
         "seed": 42,
+        # accepted for compat; bf16 compute is always on (the AMP
+        # equivalent) — the reference also never reads this key
         "use_mixed_precision": True,
-        # multi-chip: name of the data-parallel mesh axis and #devices
-        # (None = all visible devices)
+        # multi-chip data parallelism: number of devices for the dp mesh
+        # (None = single device; the games/batch axes shard when set)
         "mesh_devices": None,
     },
 }
