@@ -14,6 +14,9 @@ def main() -> None:
     parser.add_argument("--filters", type=int, default=128)
     parser.add_argument("--platform", default=None)
     parser.add_argument("--repeats", type=int, default=10)
+    parser.add_argument("--chain", type=int, default=16,
+                        help="forwards chained inside one jit call (amortizes "
+                             "dispatch/tunnel latency)")
     parser.add_argument(
         "--batches", type=int, nargs="+",
         default=[1, 8, 32, 64, 128, 256, 1024, 4096],
@@ -53,10 +56,19 @@ def main() -> None:
             )
         print(f"--- compute dtype {dtype_name} ---")
 
+        chain = args.chain
+
         @jax.jit
         def fwd(v, x):
-            lp, val = model.apply(v, x, train=False)
-            return lp.sum() + val.sum()  # scalar -> cheap D2H readback
+            # chain forwards inside one program so per-call dispatch latency
+            # amortizes; inputs perturbed by the carry to defeat CSE
+            def body(carry, _):
+                lp, val = model.apply(v, x + carry, train=False)
+                out = lp.sum() + val.sum()
+                return out * 1e-9, out
+
+            _, outs = jax.lax.scan(body, jnp.float32(0), None, length=chain)
+            return outs.sum()
 
         for b in args.batches:
             x = jnp.zeros((b, 8, 8, 3), jnp.float32)
@@ -65,10 +77,10 @@ def main() -> None:
                 t0 = time.perf_counter()
                 for _ in range(args.repeats):
                     float(fwd(variables, x))
-                dt = (time.perf_counter() - t0) / args.repeats
+                dt = (time.perf_counter() - t0) / (args.repeats * chain)
                 print(
                     f"batch {b:5d}: {b / dt:12,.0f} boards/sec "
-                    f"({dt * 1e3:7.2f} ms/batch)"
+                    f"({dt * 1e3:7.2f} ms/batch, x{chain} chained)"
                 )
             except Exception as e:  # noqa: BLE001 — OOM etc (reference
                 # catches OOM the same way, benchmark_model.py:97-102)
