@@ -176,6 +176,14 @@ class Arena:
             self._print_summary(summary)
         return summary
 
+    def play_game(self, player1: Player, player2: Player, rng: jax.Array,
+                  player1_color: str = "black") -> MatchResult:
+        """Single game (reference arena.py:68-162). Runs through the batched
+        path with num_games=1; ``player1_color`` picks the assignment."""
+        num_games = 2 if player1_color == "white" else 1
+        summary = self.play_matches(player1, player2, num_games, rng)
+        return summary.results[-1 if player1_color == "white" else 0]
+
     @staticmethod
     def _print_summary(s: MatchSummary) -> None:  # noqa: D102
         print(

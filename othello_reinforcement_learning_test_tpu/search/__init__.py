@@ -1,4 +1,5 @@
 from .mcts import (
+    MCTS,
     SearchResult,
     Tree,
     action_evaluations,
@@ -10,6 +11,7 @@ from .mcts import (
 )
 
 __all__ = [
+    "MCTS",
     "SearchResult",
     "Tree",
     "action_evaluations",

@@ -400,3 +400,56 @@ def action_evaluations(result: SearchResult) -> jnp.ndarray:
     visited = (result.visit_counts > 0) & result.legal
     scaled = jnp.round((result.q_values + 1.0) * 50.0)
     return jnp.where(visited, scaled, -1.0)
+
+
+class MCTS:
+    """Object facade with the reference search API
+    (``/root/reference/src/mcts/mcts.py:49,230,257,298``): ``search`` /
+    ``get_action_probs`` / ``get_best_action`` / ``get_action_evaluations``,
+    operating on batched boards. Thin wrapper over the functional API."""
+
+    def __init__(
+        self,
+        engine: OthelloEngine,
+        apply_fn: Callable,
+        variables,
+        num_simulations: int = 25,
+        c_puct: float = 1.0,
+        dirichlet_alpha: float = 0.3,
+        dirichlet_epsilon: float = 0.25,
+    ):
+        self.engine = engine
+        self.apply_fn = apply_fn
+        self.variables = variables
+        self.num_simulations = num_simulations
+        self.c_puct = c_puct
+        self.dirichlet_alpha = dirichlet_alpha
+        self.dirichlet_epsilon = dirichlet_epsilon
+
+    def search(self, boards: Board, rng: jax.Array,
+               add_noise: bool = False) -> SearchResult:
+        return search(
+            self.engine,
+            lambda x: self.apply_fn(self.variables, x),
+            boards,
+            rng,
+            num_simulations=self.num_simulations,
+            c_puct=self.c_puct,
+            dirichlet_alpha=self.dirichlet_alpha,
+            dirichlet_epsilon=self.dirichlet_epsilon,
+            add_noise=add_noise,
+        )
+
+    def get_action_probs(self, boards: Board, rng: jax.Array,
+                         temperature: float = 1.0,
+                         add_noise: bool = False) -> jnp.ndarray:
+        res = self.search(boards, rng, add_noise=add_noise)
+        return action_probs_from_counts(res.visit_counts, res.legal, temperature)
+
+    def get_best_action(self, boards: Board, rng: jax.Array) -> jnp.ndarray:
+        res = self.search(boards, rng, add_noise=False)
+        return best_action(res.visit_counts, res.legal)
+
+    def get_action_evaluations(self, boards: Board, rng: jax.Array) -> jnp.ndarray:
+        """Per-action 0-100 evaluations for hint UIs (-1 = unvisited)."""
+        return action_evaluations(self.search(boards, rng, add_noise=False))

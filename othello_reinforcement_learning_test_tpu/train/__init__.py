@@ -1,5 +1,5 @@
 from . import buffer, checkpoint
-from .self_play import Trajectory, max_game_length, play_games
+from .self_play import SelfPlayWorker, Trajectory, max_game_length, play_games
 from .trainer import (
     AlphaZeroTrainer,
     TrainState,
@@ -12,6 +12,7 @@ from .trainer import (
 __all__ = [
     "AlphaZeroTrainer",
     "TrainState",
+    "SelfPlayWorker",
     "Trajectory",
     "apply_eval",
     "buffer",

@@ -227,3 +227,7 @@ def statistics(buffer: ReplayBuffer) -> Dict[str, jnp.ndarray]:
         "value_mean": mean,
         "value_std": jnp.sqrt(var),
     }
+
+
+# reference-name alias (buffer.py:107 get_statistics)
+get_statistics = statistics

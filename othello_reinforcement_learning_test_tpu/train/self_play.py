@@ -200,3 +200,49 @@ def play_games(
         winner_black=winner_black,
         num_moves=boards.move_count,
     )
+
+
+class SelfPlayWorker:
+    """Object facade with the reference worker API
+    (``/root/reference/src/train/self_play.py:25,52,137`` and the parallel
+    worker ``parallel_self_play.py:218,282``): ``execute_episode`` /
+    ``execute_episodes``. All episodes run batched in lockstep on device."""
+
+    def __init__(
+        self,
+        engine: OthelloEngine,
+        apply_fn,
+        variables,
+        num_simulations: int = 25,
+        c_puct: float = 1.0,
+        dirichlet_alpha: float = 0.3,
+        dirichlet_epsilon: float = 0.25,
+        temperature_threshold: int = 15,
+    ):
+        self.engine = engine
+        self.apply_fn = apply_fn
+        self.variables = variables
+        self.num_simulations = num_simulations
+        self.c_puct = c_puct
+        self.dirichlet_alpha = dirichlet_alpha
+        self.dirichlet_epsilon = dirichlet_epsilon
+        self.temperature_threshold = temperature_threshold
+
+    def execute_episodes(self, num_episodes: int, rng: jax.Array,
+                         add_noise: bool = True) -> Trajectory:
+        return play_games(
+            self.engine,
+            self.apply_fn,
+            self.variables,
+            rng,
+            num_games=num_episodes,
+            num_simulations=self.num_simulations,
+            c_puct=self.c_puct,
+            dirichlet_alpha=self.dirichlet_alpha,
+            dirichlet_epsilon=self.dirichlet_epsilon,
+            temperature_threshold=self.temperature_threshold,
+            add_noise=add_noise,
+        )
+
+    def execute_episode(self, rng: jax.Array, add_noise: bool = True) -> Trajectory:
+        return self.execute_episodes(1, rng, add_noise=add_noise)
