@@ -95,6 +95,11 @@ def bench_random(args, jax, jnp, engine):
 
 def bench_random_pallas(args, jax, jnp, engine):
     """Random self-play through the fused Pallas step kernel."""
+    if args.size != 8:
+        raise SystemExit(
+            "--pallas supports 8x8 only (the kernel has no board-validity "
+            "mask); rerun with --no-pallas for other sizes"
+        )
     from othello_reinforcement_learning_test_tpu.ops.pallas_step import (
         pack_boards,
         play_random_games,

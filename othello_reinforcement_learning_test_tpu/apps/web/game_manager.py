@@ -199,6 +199,8 @@ class GameManager:
         with self._lock:
             if self._player is None:
                 return False, "no model loaded"
+            if self.is_ai_thinking:
+                return False, "AI is already thinking"
             if self.is_game_over():
                 return False, "game is over"
             self.is_ai_thinking = True
@@ -245,17 +247,21 @@ class GameManager:
     def hint(self) -> Dict[int, int]:
         """{action: 0-100 eval} for legal moves (reference
         game_manager.py:175-204; search at max(10, sims // 2) like the GUI,
-        app.py:445-455)."""
-        if self._player is None:
-            return {}
+        app.py:445-455). Snapshots the board under the lock so a concurrent
+        AI move can't produce evaluations for a different position."""
+        with self._lock:
+            if self._player is None or self.is_ai_thinking:
+                return {}
+            board = self.board
         sims = max(10, self.ai_simulations // 2)
         res = mcts.search(
             self.engine,
             lambda x: self._player.apply_fn(self._player.variables, x),
-            self.board,
+            board,
             self._next_rng(),
             num_simulations=sims,
             add_noise=False,
         )
         ev = np.asarray(mcts.action_evaluations(res))[0]
-        return {int(a): int(ev[a]) for a in self.legal_moves() if ev[a] >= 0}
+        legal = np.asarray(self.engine.legal_actions(board))[0]
+        return {int(a): int(ev[a]) for a in np.where(legal)[0] if ev[a] >= 0}

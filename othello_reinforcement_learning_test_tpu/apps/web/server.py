@@ -151,7 +151,11 @@ class OthelloRequestHandler(BaseHTTPRequestHandler):
         elif path == "/api/game/move":
             if "position" not in body:
                 return self._error("position required", 422)
-            ok, err = gm.make_move(int(body["position"]))
+            try:
+                position = int(body["position"])
+            except (TypeError, ValueError):
+                return self._error("position must be an integer", 422)
+            ok, err = gm.make_move(position)
             self._send_json(
                 schemas.MoveResponse(
                     success=ok, error=err, state=_game_state(gm)
@@ -184,7 +188,10 @@ class OthelloRequestHandler(BaseHTTPRequestHandler):
         if path == "/api/ai/simulations":
             if "num_simulations" not in body:
                 return self._error("num_simulations required", 422)
-            n = gm.set_simulations(int(body["num_simulations"]))
+            try:
+                n = gm.set_simulations(int(body["num_simulations"]))
+            except (TypeError, ValueError):
+                return self._error("num_simulations must be an integer", 422)
             self._send_json(schemas.SimulationsResponse(num_simulations=n))
         else:
             self._error("not found", 404)

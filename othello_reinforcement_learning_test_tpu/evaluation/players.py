@@ -40,9 +40,16 @@ class Player:
         raise NotImplementedError
 
     def stateless(self):
-        """Default: wrap ``act`` (per-instance fn — no cross-instance jit
-        cache reuse)."""
-        return (lambda params, rng, boards: self.act(rng, boards)), ()
+        """Default: wrap ``act``. The wrapper is created once per instance so
+        arena jit caches keyed on it stay stable across calls (a fresh lambda
+        per call would force a full match recompile every time)."""
+        fn = getattr(self, "_stateless_fn", None)
+        if fn is None:
+            def fn(params, rng, boards, _self=self):
+                return _self.act(rng, boards)
+
+            self._stateless_fn = fn
+        return self._stateless_fn, ()
 
     def reset(self) -> None:  # session hook (reference players.py:44-47)
         pass

@@ -378,7 +378,12 @@ def action_probs_from_counts(
     best = jnp.argmax(counts, axis=-1)
     onehot = jax.nn.one_hot(best, counts.shape[-1], dtype=jnp.float32)
     safe_t = jnp.maximum(t, 1e-3)
-    powered = jnp.power(jnp.maximum(counts, 0.0), 1.0 / safe_t)
+    # normalize by the max count before powering: bases <= 1 cannot overflow
+    # float32 at small temperatures (counts**(1/t) would blow up below
+    # t ~ 0.07); non-max entries underflow toward 0, degrading gracefully
+    # into the argmax one-hot
+    cmax = jnp.maximum(counts.max(axis=-1, keepdims=True), 1e-9)
+    powered = jnp.power(jnp.maximum(counts, 0.0) / cmax, 1.0 / safe_t)
     total = powered.sum(-1, keepdims=True)
     n_legal = jnp.maximum(legal.sum(-1, keepdims=True), 1)
     uniform = legal / n_legal

@@ -64,6 +64,11 @@ def add(buffer: ReplayBuffer, traj: Trajectory) -> ReplayBuffer:
 
     offsets = jnp.cumsum(mask.astype(jnp.int32)) - 1
     n_valid = mask.sum().astype(jnp.int32)
+    # if one batch holds more valid plies than the capacity, keep only the
+    # LAST C (ring semantics); otherwise duplicate scatter indices would pick
+    # an arbitrary winner independently per field, pairing boards with the
+    # wrong policies/values
+    mask = mask & (offsets >= n_valid - C)
     pos = (buffer.cursor + offsets) % C
     pos = jnp.where(mask, pos, C)  # trash slot
 
@@ -144,6 +149,8 @@ def add_prioritized(
     C = buffer.capacity
     mask = traj.mask.reshape(-1)
     offsets = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    n_valid = mask.sum().astype(jnp.int32)
+    mask = mask & (offsets >= n_valid - C)
     pos = jnp.where(mask, (buffer.cursor + offsets) % C, C)
     base = add(
         ReplayBuffer(

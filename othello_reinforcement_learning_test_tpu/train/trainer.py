@@ -156,7 +156,7 @@ def train_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "engine", "tx", "batch_size", "augment"),
+    static_argnames=("model", "engine", "tx", "batch_size", "augment", "mesh"),
 )
 def train_step_prioritized(
     model: OthelloResNet,
@@ -167,6 +167,7 @@ def train_step_prioritized(
     rng: jax.Array,
     batch_size: int,
     augment: bool = False,
+    mesh=None,
 ) -> Tuple[TrainState, buffer_lib.PrioritizedReplayBuffer, Dict[str, jnp.ndarray]]:
     """Prioritized variant: proportional sampling with importance-weighted
     losses, then TD-error priority updates (a real implementation of the
@@ -176,6 +177,11 @@ def train_step_prioritized(
     feats, pi, v, idx, weights = buffer_lib.sample_prioritized(
         buf, rng_sample, engine, batch_size
     )
+    if mesh is not None:
+        from ..parallel.mesh import replicate, shard_leading
+
+        feats, pi, v, weights = shard_leading((feats, pi, v, weights), mesh)
+        state = replicate(state, mesh)
     if augment:
         f8, p8 = engine.symmetries(feats, pi)
         which = jax.random.randint(rng_aug, (feats.shape[0],), 0, 8)
@@ -261,6 +267,17 @@ class AlphaZeroTrainer:
         self.checkpoint_interval = int(tc.get("checkpoint_interval", 10))
         self.buffer_capacity = int(tc.get("replay_buffer_size", 100_000))
         self.augment = bool(tc.get("augment_symmetries", False))
+        if self.augment and self.engine.rules == "reference":
+            # the reference rule set is NOT D4-symmetric (its east/west
+            # edge-mask quirks don't map onto the unmasked vertical rays
+            # under rotation), so rotated (features, pi) pairs would be
+            # inconsistent with the engine. Augmentation needs
+            # game.rules: standard.
+            self.log(
+                "warning: augment_symmetries disabled — reference rules are "
+                "not D4-symmetric (use game.rules: standard)"
+            )
+            self.augment = False
         self.prioritized = bool(tc.get("prioritized_replay", False))
 
         mcc = config.get("mcts", {})
@@ -399,6 +416,7 @@ class AlphaZeroTrainer:
                             sub,
                             batch_size=self.batch_size,
                             augment=self.augment,
+                            mesh=self.mesh,
                         )
                     else:
                         self.state, metrics = train_step(
