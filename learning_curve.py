@@ -22,6 +22,9 @@ def main() -> None:
     parser.add_argument("--simulations", type=int, default=50)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--device", choices=["auto", "cpu"], default="auto")
+    parser.add_argument("--anchor-checkpoint", default=None,
+                        help="also evaluate every checkpoint against this "
+                             "fixed MCTS checkpoint (strength anchor)")
     parser.add_argument("--opening-random-plies", type=int, default=4,
                         help="randomize the first k plies so deterministic "
                              "player pairs produce diverse games")
@@ -44,7 +47,7 @@ def main() -> None:
         MCTSPlayer,
         RandomPlayer,
         evaluate_player,
-    )
+    )  # noqa: F401
 
     ckpts = []
     for e in sorted(os.listdir(args.checkpoint_dir)):
@@ -59,7 +62,16 @@ def main() -> None:
 
     curve = []
     rng = jax.random.PRNGKey(args.seed)
-    print(f"{'iter':>6} {'vs Random':>10} {'vs Greedy':>10}")
+    anchor = None
+    if args.anchor_checkpoint:
+        anchor = MCTSPlayer.from_checkpoint(
+            args.anchor_checkpoint, num_simulations=args.simulations
+        )
+        anchor.name = "Anchor"
+    header = f"{'iter':>6} {'vs Random':>10} {'vs Greedy':>10}"
+    if anchor:
+        header += f" {'vs Anchor':>10}"
+    print(header)
     player = None
     for iteration, path in ckpts:
         player = MCTSPlayer.from_checkpoint(
@@ -68,19 +80,25 @@ def main() -> None:
         )
         engine = player.engine
         row = {"iteration": iteration, "checkpoint": path}
-        for opp_cls, name in ((RandomPlayer, "random"), (GreedyPlayer, "greedy")):
+        opponents = [(RandomPlayer(engine), "random"), (GreedyPlayer(engine), "greedy")]
+        if anchor is not None:
+            opponents.append((anchor, "anchor"))
+        for opponent, name in opponents:
             rng, sub = jax.random.split(rng)
             out = evaluate_player(
-                player, opp_cls(engine), engine, num_games=args.games, rng=sub,
+                player, opponent, engine, num_games=args.games, rng=sub,
                 opening_random_plies=args.opening_random_plies,
             )
             row[f"win_rate_vs_{name}"] = out["win_rate"]
             row[f"avg_score_vs_{name}"] = out["avg_score"]
         curve.append(row)
-        print(
+        line = (
             f"{iteration:>6} {row['win_rate_vs_random']:>9.1%} "
             f"{row['win_rate_vs_greedy']:>9.1%}"
         )
+        if anchor is not None:
+            line += f" {row['win_rate_vs_anchor']:>9.1%}"
+        print(line)
 
     out_path = args.output or os.path.join(
         args.checkpoint_dir,
