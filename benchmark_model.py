@@ -14,6 +14,8 @@ def main() -> None:
     parser.add_argument("--filters", type=int, default=128)
     parser.add_argument("--platform", default=None)
     parser.add_argument("--repeats", type=int, default=10)
+    parser.add_argument("--fused", action="store_true",
+                        help="also measure the fused Pallas inference trunk")
     parser.add_argument("--chain", type=int, default=16,
                         help="forwards chained inside one jit call (amortizes "
                              "dispatch/tunnel latency)")
@@ -84,6 +86,42 @@ def main() -> None:
                 )
             except Exception as e:  # noqa: BLE001 — OOM etc (reference
                 # catches OOM the same way, benchmark_model.py:97-102)
+                print(f"batch {b:5d}: failed ({type(e).__name__}: {e})")
+
+    if args.fused:
+        from othello_reinforcement_learning_test_tpu.models.pallas_resnet import (
+            FusedInference,
+        )
+
+        model = OthelloResNet(num_blocks=args.blocks, num_filters=args.filters)
+        variables = init_variables(model, jax.random.PRNGKey(0))
+        fused = FusedInference(model, interpret=dev.platform != "tpu")
+        chain = args.chain
+
+        @jax.jit
+        def fwd_fused(v, x):
+            def body(carry, _):
+                lp, val = fused(v, x + carry)
+                out = lp.sum() + val.sum()
+                return out * 1e-9, out
+
+            _, outs = jax.lax.scan(body, jnp.float32(0), None, length=chain)
+            return outs.sum()
+
+        print("--- fused Pallas trunk (eval mode, bf16) ---")
+        for b in args.batches:
+            x = jnp.zeros((b, 8, 8, 3), jnp.float32)
+            try:
+                float(fwd_fused(variables, x))
+                t0 = time.perf_counter()
+                for _ in range(args.repeats):
+                    float(fwd_fused(variables, x))
+                dt = (time.perf_counter() - t0) / (args.repeats * chain)
+                print(
+                    f"batch {b:5d}: {b / dt:12,.0f} boards/sec "
+                    f"({dt * 1e3:7.2f} ms/batch, x{chain} chained)"
+                )
+            except Exception as e:  # noqa: BLE001
                 print(f"batch {b:5d}: failed ({type(e).__name__}: {e})")
 
     try:
