@@ -207,7 +207,7 @@ class MCTSPlayer(Player):
             step=jnp.int32(0),
             iteration=jnp.int32(0),
         )
-        state = ckpt_lib.load(path, template)
+        state = ckpt_lib.load_train_state(path, template)
         player = cls(
             engine,
             apply_eval(model),

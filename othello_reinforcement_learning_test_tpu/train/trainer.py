@@ -334,17 +334,50 @@ class AlphaZeroTrainer:
 
     # -- checkpointing -----------------------------------------------------
     def save_checkpoint(self, name: str) -> str:
+        """Full checkpoint: TrainState + replay buffer + host RNG, so resume
+        is bit-identical to an uninterrupted run (the reference drops its
+        deque buffer on restart; its load_checkpoint is never wired,
+        /root/reference/src/train/trainer.py:387-404)."""
         path = os.path.join(self.checkpoint_dir, name)
-        ckpt_lib.save(
+        ckpt_lib.save_full(
             path,
-            state=self.state,
+            train_state=self.state,
+            buffer=self.buffer,
+            rng=self.rng,
             config=self.config,
         )
         return path
 
     def load_checkpoint(self, path: str) -> None:
-        restored = ckpt_lib.load(path, self.state)
-        self.state = restored
+        """Restore TrainState (+ buffer + RNG for format-2 checkpoints);
+        format-1 checkpoints resume with an empty buffer and the seed RNG
+        (a warning says so)."""
+        meta = ckpt_lib.load_meta(path)
+        if meta.get("format", 1) >= 2:
+            if (int(meta.get("buffer_capacity", -1)) != self.buffer.capacity
+                    or meta.get("buffer_class") != type(self.buffer).__name__):
+                # config changed buffer shape since the checkpoint: restore
+                # the train state only, keep the fresh buffer
+                self.state = ckpt_lib.load_train_state(path, self.state)
+                self.log(
+                    "warning: checkpoint buffer "
+                    f"({meta.get('buffer_class')}, cap {meta.get('buffer_capacity')}) "
+                    f"doesn't match config ({type(self.buffer).__name__}, cap "
+                    f"{self.buffer.capacity}); resuming with an empty buffer"
+                )
+            else:
+                restored = ckpt_lib.load_full(
+                    path, self.state, self.buffer, self.rng
+                )
+                self.state = restored["train_state"]
+                self.buffer = restored["buffer"]
+                self.rng = restored["rng"]
+        else:
+            self.state = ckpt_lib.load(path, self.state)
+            self.log(
+                "warning: format-1 checkpoint (no buffer/RNG state); "
+                "resuming with an empty buffer"
+            )
         self.log(f"resumed from {path} at iteration {int(self.state.iteration)}")
 
     # -- main loop ---------------------------------------------------------
