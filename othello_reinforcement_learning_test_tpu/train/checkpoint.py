@@ -70,15 +70,21 @@ def save_full(
     buffer: Any,
     rng: jax.Array,
     config: Optional[Dict] = None,
+    best: Any = None,
 ) -> str:
-    """Save the composite {train_state, buffer, rng} pytree + meta sidecar."""
+    """Save the composite {train_state, buffer, rng[, best]} pytree + meta
+    sidecar. ``best`` is the gating best-network variables (params +
+    batch_stats), present only when arena gating is enabled."""
     composite = {"train_state": train_state, "buffer": buffer, "rng": rng}
+    if best is not None:
+        composite["best"] = best
     path = save(path, composite, config)
     meta = {
         "format": 2,
         "buffer_capacity": int(buffer.capacity),
         "buffer_class": type(buffer).__name__,
         "num_actions": int(buffer.pi.shape[-1]),
+        "has_best": best is not None,
     }
     with open(path + ".meta.json", "w") as f:
         json.dump(meta, f, indent=2)
@@ -98,9 +104,9 @@ def load_meta(path: str) -> Dict:
 def load_full(path: str, train_state_template: Any, buffer_template: Any,
               rng_template: jax.Array) -> Dict[str, Any]:
     """Restore a format-2 checkpoint into the given templates. Returns
-    ``{"train_state": ..., "buffer": ..., "rng": ...}``. For a format-1
-    checkpoint, restores only the TrainState and passes the buffer/rng
-    templates through unchanged (with ``"partial": True`` in the result)."""
+    ``{"train_state": ..., "buffer": ..., "rng": ...[, "best": ...]}``.
+    For a format-1 checkpoint, restores only the TrainState and passes the
+    buffer/rng templates through unchanged (``"partial": True``)."""
     meta = load_meta(path)
     if meta.get("format", 1) >= 2:
         template = {
@@ -108,6 +114,11 @@ def load_full(path: str, train_state_template: Any, buffer_template: Any,
             "buffer": buffer_template,
             "rng": rng_template,
         }
+        if meta.get("has_best"):
+            template["best"] = {
+                "params": train_state_template.params,
+                "batch_stats": train_state_template.batch_stats,
+            }
         restored = load(path, template)
         restored["partial"] = False
         return restored

@@ -279,6 +279,18 @@ class AlphaZeroTrainer:
             )
             self.augment = False
         self.prioritized = bool(tc.get("prioritized_replay", False))
+        gate = tc.get("gating") or {}
+        self.gating_enabled = bool(gate.get("enabled", False))
+        self.gating_games = int(gate.get("games", 40) or 40)
+        self.gating_threshold = float(gate.get("win_threshold", 0.55))
+        self.gating_interval = int(
+            gate.get("interval") or tc.get("checkpoint_interval", 10)
+        )
+        self.gating_sims = int(
+            gate.get("num_simulations")
+            or config.get("mcts", {}).get("num_simulations", 25)
+        )
+        self.gating_opening = int(gate.get("opening_random_plies", 4))
 
         mcc = config.get("mcts", {})
         self.num_simulations = int(mcc.get("num_simulations", 25))
@@ -326,6 +338,9 @@ class AlphaZeroTrainer:
                 self.buffer_capacity, self.engine.num_actions
             )
         self._apply_eval = apply_eval(self.model)
+        # arena gating: self-play always uses the best-so-far network; the
+        # candidate must beat it in a gate match to be adopted
+        self.best_variables = self.variables() if self.gating_enabled else None
         self.log(
             f"model: {self.model.num_blocks} blocks x {self.model.num_filters} "
             f"filters, {param_count(self.state.params):,} params; "
@@ -345,6 +360,7 @@ class AlphaZeroTrainer:
             buffer=self.buffer,
             rng=self.rng,
             config=self.config,
+            best=self.best_variables,
         )
         return path
 
@@ -372,6 +388,9 @@ class AlphaZeroTrainer:
                 self.state = restored["train_state"]
                 self.buffer = restored["buffer"]
                 self.rng = restored["rng"]
+                if "best" in restored:
+                    self.best_variables = restored["best"]
+                    self.gating_enabled = True
         else:
             self.state = ckpt_lib.load(path, self.state)
             self.log(
@@ -385,6 +404,9 @@ class AlphaZeroTrainer:
         return {"params": self.state.params, "batch_stats": self.state.batch_stats}
 
     def run_self_play(self, num_games: int, add_noise: bool = True) -> Trajectory:
+        # with gating on, self-play data comes from the BEST network (the
+        # AlphaZero scheme); otherwise from the current candidate
+        sp_variables = self.best_variables if self.gating_enabled else self.variables()
         chunk = self.num_parallel_games or num_games
         chunks = []
         remaining = num_games
@@ -395,7 +417,7 @@ class AlphaZeroTrainer:
                 play_games(
                     self.engine,
                     self._apply_eval,
-                    self.variables(),
+                    sp_variables,
                     sub,
                     num_games=n,
                     num_simulations=self.num_simulations,
@@ -411,6 +433,52 @@ class AlphaZeroTrainer:
         if len(chunks) == 1:
             return chunks[0]
         return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
+
+    def _gate_match(self, rng: jax.Array):
+        """Candidate (current params) vs best-so-far: returns
+        ``(decisive_win_rate, summary)``. Decisive win rate = wins /
+        (wins + losses), draws excluded; 0.5 if every game draws. Separated
+        out so tests can rig the outcome."""
+        from ..evaluation.arena import Arena
+        from ..evaluation.players import MCTSPlayer
+
+        candidate = MCTSPlayer(
+            self.engine, self._apply_eval, self.variables(),
+            num_simulations=self.gating_sims, c_puct=self.c_puct,
+        )
+        best = MCTSPlayer(
+            self.engine, self._apply_eval, self.best_variables,
+            num_simulations=self.gating_sims, c_puct=self.c_puct,
+        )
+        arena = Arena(self.engine)
+        s = arena.play_matches(
+            candidate, best, self.gating_games, rng,
+            opening_random_plies=self.gating_opening,
+        )
+        decisive = s.wins + s.losses
+        win_rate = s.wins / decisive if decisive else 0.5
+        return win_rate, s
+
+    def run_gating(self, iteration: int) -> Optional[bool]:
+        """Gate the candidate if due this iteration. Returns the decision
+        (True adopted / False rejected) or None when not due / disabled."""
+        if not self.gating_enabled or iteration % self.gating_interval != 0:
+            return None
+        self.rng, sub = jax.random.split(self.rng)
+        t0 = time.time()
+        win_rate, s = self._gate_match(sub)
+        accepted = win_rate >= self.gating_threshold
+        if accepted:
+            self.best_variables = self.variables()
+        self.writer.scalar("Gating/win_rate", win_rate, iteration)
+        self.writer.scalar("Gating/accepted", float(accepted), iteration)
+        self.log(
+            f"gating @ iter {iteration}: candidate "
+            f"{s.wins}W-{s.losses}L-{s.draws}D (decisive {win_rate:.1%}) -> "
+            f"{'ADOPTED as best' if accepted else 'rejected (best kept)'} "
+            f"[{time.time() - t0:.1f}s]"
+        )
+        return accepted
 
     def train(
         self,
@@ -504,6 +572,8 @@ class AlphaZeroTrainer:
                 f"{trend} self_play={sp_time:.1f}s train={tr_time:.1f}s "
                 f"buffer={int(stats['size'])} eta={eta / 60:.1f}m"
             )
+
+            self.run_gating(it + 1)
 
             if (it + 1) % self.checkpoint_interval == 0:
                 self.save_checkpoint(f"checkpoint_iter_{it + 1:06d}")

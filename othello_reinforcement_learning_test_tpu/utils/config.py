@@ -33,6 +33,19 @@ DEFAULTS: Dict[str, Dict[str, Any]] = {
         "replay_buffer_size": 100_000,
         "augment_symmetries": False,
         "prioritized_replay": False,
+        # arena-gated model acceptance (AlphaZero-style): self-play uses the
+        # BEST network; every `interval` iterations the candidate plays a
+        # gate match vs best and replaces it only on a decisive win rate
+        # >= win_threshold (BASELINE.json: "strong_8x8.yaml with arena
+        # gating"). Subkeys missing from a user config fall back to these.
+        "gating": {
+            "enabled": False,
+            "games": 40,
+            "win_threshold": 0.55,
+            "interval": None,  # None = checkpoint_interval
+            "num_simulations": None,  # None = mcts.num_simulations
+            "opening_random_plies": 4,
+        },
     },
     "mcts": {
         "num_simulations": 25,
@@ -86,7 +99,16 @@ def load_config(path: Optional[str] = None) -> Dict:
         for key, value in values.items():
             if key not in cfg[section]:
                 warnings.warn(f"config: unknown key '{section}.{key}' (kept)")
-            cfg[section][key] = value
+            if isinstance(cfg[section].get(key), dict) and isinstance(value, dict):
+                # nested block (e.g. training.gating): merge over defaults
+                for k2, v2 in value.items():
+                    if k2 not in cfg[section][key]:
+                        warnings.warn(
+                            f"config: unknown key '{section}.{key}.{k2}' (kept)"
+                        )
+                    cfg[section][key][k2] = v2
+            else:
+                cfg[section][key] = value
     # keep model.board_size consistent with game.size unless explicitly set
     if "model" not in user or "board_size" not in user.get("model", {}):
         cfg["model"]["board_size"] = cfg["game"]["size"]
@@ -103,6 +125,12 @@ def _validate(cfg: Dict) -> None:
             raise ValueError(f"training.{key} must be positive, got {t[key]}")
     if not (0.0 < float(t["lr"])):
         raise ValueError("training.lr must be > 0")
+    gating = t.get("gating") or {}
+    if gating.get("enabled"):
+        if int(gating.get("games", 40)) <= 0:
+            raise ValueError("training.gating.games must be positive")
+        if not (0.0 <= float(gating.get("win_threshold", 0.55)) <= 1.0):
+            raise ValueError("training.gating.win_threshold must be in [0, 1]")
     m = cfg["mcts"]
     if int(m["num_simulations"]) <= 0:
         raise ValueError("mcts.num_simulations must be positive")
