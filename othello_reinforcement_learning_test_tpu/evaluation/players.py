@@ -10,6 +10,7 @@ the interactive CLI front-end (single game).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, Dict, Optional
 
 import jax
@@ -221,27 +222,203 @@ class MCTSPlayer(Player):
 
 
 class EdaxPlayer(Player):
-    """Placeholder for an external Edax engine adapter.
+    """External Edax engine adapter over a persistent console subprocess.
 
-    Like the reference (players.py:226-262), the subprocess protocol is NOT
-    implemented and play always falls back to uniform random; the name makes
-    that explicit so arena results can't silently masquerade as wins over a
-    real Edax. ``binary_path`` is recorded for a future adapter."""
+    Implements the subprocess protocol the reference declares but never
+    finishes (``/root/reference/src/eval/players.py:226-262`` falls back to
+    random unconditionally). The wire protocol (Edax console / GGS-style,
+    one command per line):
 
-    name = "Edax(random-fallback)"
+    - ``setboard <cells> <turn>`` — ``cells`` is S*S chars row-major from
+      a1, ``X`` black / ``O`` white / ``-`` empty; ``turn`` is ``X`` or ``O``.
+    - ``go`` — engine answers a line matching ``Edax plays <MOVE>`` where
+      MOVE is a coordinate like ``D3`` (column letter + 1-based row) or
+      ``PS`` for pass.
+    - ``quit`` — terminate.
+
+    ``binary_path`` (or ``$EDAX_BINARY``, or ``edax`` on PATH) selects the
+    engine; a checked-in fake speaking the same protocol drives the tests
+    (``tests/fake_edax.py``). When no binary is found, play falls back to
+    uniform random and the player name says so, as in round 1.
+
+    Batched boards are served one game at a time on the host behind
+    ``jax.experimental.io_callback``, so the player still composes with the
+    jitted lockstep arena. Replies are validated against the engine's legal
+    mask; an illegal or unparseable reply falls back to the first legal
+    action (never crashes a match).
+    """
 
     def __init__(self, engine: OthelloEngine, binary_path: Optional[str] = None,
                  level: int = 5):
+        import shutil
+
         self.engine = engine
-        self.level = level
-        self.binary = binary_path
-        self._fallback = RandomPlayer(engine)
+        self.level = int(level)
+        self.binary = (
+            binary_path
+            or os.environ.get("EDAX_BINARY")
+            or shutil.which("edax")
+        )
+        self._proc = None
+        if self.binary and os.path.exists(self.binary):
+            self.name = f"Edax(L{self.level})"
+            self._fallback = None
+        else:
+            self.binary = None
+            self.name = "Edax(random-fallback)"
+            self._fallback = RandomPlayer(engine)
+
+    # -- subprocess management -------------------------------------------
+    REPLY_TIMEOUT_S = 5.0
+
+    def _ensure_proc(self):
+        import queue
+        import subprocess
+        import threading
+
+        if self._proc is not None and self._proc.poll() is None:
+            return self._proc
+        self._proc = subprocess.Popen(
+            [self.binary, "-q", "-level", str(self.level)],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+            bufsize=1,
+        )
+        # reader thread: readline() on a subprocess pipe blocks with no
+        # timeout, so a misbehaving engine (replies garbage, then waits for
+        # more input) would hang the match; lines flow through a queue the
+        # querier polls with a deadline instead
+        self._lines = queue.Queue()
+
+        def _pump(proc, q):
+            for line in proc.stdout:
+                q.put(line)
+            q.put(None)  # EOF marker
+
+        self._reader = threading.Thread(
+            target=_pump, args=(self._proc, self._lines), daemon=True
+        )
+        self._reader.start()
+        return self._proc
+
+    def _readline(self) -> Optional[str]:
+        """Next stdout line or None on EOF/timeout."""
+        import queue
+
+        try:
+            return self._lines.get(timeout=self.REPLY_TIMEOUT_S)
+        except queue.Empty:
+            return None
+
+    def close(self) -> None:
+        if self._proc is not None and self._proc.poll() is None:
+            try:
+                self._proc.stdin.write("quit\n")
+                self._proc.stdin.flush()
+                self._proc.wait(timeout=2)
+            except Exception:
+                self._proc.kill()
+        self._proc = None
+
+    reset = close  # new session -> fresh engine state
+
+    _MOVE_RE = None
+
+    def _query_move(self, cells: str, turn: str) -> Optional[int]:
+        """One setboard/go round-trip -> action index or None on failure."""
+        import re
+
+        if EdaxPlayer._MOVE_RE is None:
+            EdaxPlayer._MOVE_RE = re.compile(
+                r"plays\s+([A-Ha-h][1-8]|PS|pass)", re.IGNORECASE
+            )
+        try:
+            proc = self._ensure_proc()
+            proc.stdin.write(f"setboard {cells} {turn}\ngo\n")
+            proc.stdin.flush()
+            for _ in range(64):  # skip banner/echo lines
+                line = self._readline()
+                if line is None:
+                    return None
+                m = EdaxPlayer._MOVE_RE.search(line)
+                if m:
+                    tok = m.group(1).upper()
+                    if tok in ("PS", "PASS"):
+                        return self.engine.pass_action
+                    col = ord(tok[0]) - ord("A")
+                    row = int(tok[1]) - 1
+                    if 0 <= row < self.engine.size and 0 <= col < self.engine.size:
+                        return row * self.engine.size + col
+                    return None
+        except (BrokenPipeError, OSError):
+            self.close()
+        return None
+
+    # -- host-side batched act -------------------------------------------
+    def _host_act(self, me, opp, move_count, legal) -> np.ndarray:
+        size = self.engine.size
+        me = np.asarray(me)
+        opp = np.asarray(opp)
+        move_count = np.asarray(move_count)
+        legal = np.asarray(legal)
+        B = me.shape[0]
+        # unpack (lo, hi) u32 words to 64 bools, grid bit = row*8 + col
+        words = (me.astype(np.uint64)[:, 0]
+                 | (me.astype(np.uint64)[:, 1] << np.uint64(32)))
+        words_o = (opp.astype(np.uint64)[:, 0]
+                   | (opp.astype(np.uint64)[:, 1] << np.uint64(32)))
+        shifts = np.arange(64, dtype=np.uint64)
+        me_bits = (words[:, None] >> shifts) & np.uint64(1)
+        opp_bits = (words_o[:, None] >> shifts) & np.uint64(1)
+
+        actions = np.zeros((B,), np.int32)
+        for i in range(B):
+            mover_black = int(move_count[i]) % 2 == 0
+            me_ch, opp_ch = ("X", "O") if mover_black else ("O", "X")
+            chars = []
+            for r in range(size):
+                for c in range(size):
+                    b = r * 8 + c
+                    if me_bits[i, b]:
+                        chars.append(me_ch)
+                    elif opp_bits[i, b]:
+                        chars.append(opp_ch)
+                    else:
+                        chars.append("-")
+            a = self._query_move("".join(chars), me_ch)
+            if a is None or not legal[i, a]:
+                a = int(np.argmax(legal[i]))  # first legal action
+            actions[i] = a
+        return actions
 
     def act(self, rng: jax.Array, boards: Board) -> jnp.ndarray:
-        return self._fallback.act(rng, boards)
+        if self.binary is None:
+            return self._fallback.act(rng, boards)
+        fn, params = self.stateless()
+        return fn(params, rng, boards)
 
     def stateless(self):
-        return self._fallback.stateless()
+        if self.binary is None:
+            return self._fallback.stateless()
+        fn = getattr(self, "_stateless_fn", None)
+        if fn is None:
+            from jax.experimental import io_callback
+
+            engine = self.engine
+
+            def fn(params, rng, boards, _self=self):
+                legal = engine.legal_actions(boards)
+                return io_callback(
+                    _self._host_act,
+                    jax.ShapeDtypeStruct((boards.move_count.shape[0],), jnp.int32),
+                    boards.me, boards.opp, boards.move_count, legal,
+                    ordered=True,
+                )
+
+            self._stateless_fn = fn
+        return self._stateless_fn, ()
 
 
 class HumanPlayer(Player):
