@@ -95,11 +95,6 @@ def bench_random(args, jax, jnp, engine):
 
 def bench_random_pallas(args, jax, jnp, engine):
     """Random self-play through the fused Pallas step kernel."""
-    if args.size != 8:
-        raise SystemExit(
-            "--pallas supports 8x8 only (the kernel has no board-validity "
-            "mask); rerun with --no-pallas for other sizes"
-        )
     from othello_reinforcement_learning_test_tpu.ops.pallas_step import (
         pack_boards,
         play_random_games,
@@ -113,7 +108,7 @@ def bench_random_pallas(args, jax, jnp, engine):
     def run(seed):
         return play_random_games(
             packed, jnp.int32(seed), max_plies=2 * args.size**2 + 4,
-            interpret=interpret,
+            size=engine.size, rules=engine.rules, interpret=interpret,
         )
 
     final, steps, plies = run(0)

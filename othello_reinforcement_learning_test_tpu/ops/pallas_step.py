@@ -32,8 +32,18 @@ from .bitboard import _DIRECTIONS
 _U32 = jnp.uint32
 _FLOOD_ITERS = 6
 
-# (delta, reference-rules mask) — same table as the XLA engine.
-_DIRS_REF = tuple((d, m_ref) for d, m_ref, _ in _DIRECTIONS)
+
+def _engine_tables(size: int, rules: str):
+    """(dirs, valid_int) compile-time tables, identical to the XLA engine's
+    (bitboard.py:113-119): per-direction post-shift masks for the rule set
+    and the board-validity mask embedding SxS in the 8-wide layout."""
+    valid = 0
+    for r in range(size):
+        for c in range(size):
+            valid |= 1 << (r * 8 + c)
+    mask_idx = 1 if rules == "reference" else 2
+    dirs = tuple((d[0], d[mask_idx]) for d in _DIRECTIONS)
+    return dirs, valid
 
 
 def _split(mask64: int) -> Tuple[int, int]:
@@ -52,13 +62,16 @@ def _shift(lo, hi, d: int):
     return _shl(lo, hi, d) if d > 0 else _shr(lo, hi, -d)
 
 
-def _legal(me_lo, me_hi, op_lo, op_hi):
-    """Reference-rules legal squares (reverse flood), elementwise."""
-    em_lo = ~(me_lo | op_lo)
-    em_hi = ~(me_hi | op_hi)
+def _legal(me_lo, me_hi, op_lo, op_hi, dirs, valid_int):
+    """Legal squares (reverse flood), elementwise, for the given direction
+    table; empties are confined to the board-validity mask so sub-8 sizes
+    can't generate out-of-board moves."""
+    v_lo, v_hi = (jnp.asarray(v, _U32) for v in _split(valid_int))
+    em_lo = v_lo & ~(me_lo | op_lo)
+    em_hi = v_hi & ~(me_hi | op_hi)
     lg_lo = jnp.zeros_like(me_lo)
     lg_hi = jnp.zeros_like(me_hi)
-    for d, m in _DIRS_REF:
+    for d, m in dirs:
         mlo, mhi = (jnp.asarray(v, _U32) for v in _split(m))
         p_lo, p_hi = op_lo & mlo, op_hi & mhi
         y_lo, y_hi = _shift(me_lo & mlo, me_hi & mhi, -d)
@@ -72,11 +85,11 @@ def _legal(me_lo, me_hi, op_lo, op_hi):
     return lg_lo, lg_hi
 
 
-def _flips(me_lo, me_hi, op_lo, op_hi, mv_lo, mv_hi):
-    """Reference-rules flip mask for one-hot move words, elementwise."""
+def _flips(me_lo, me_hi, op_lo, op_hi, mv_lo, mv_hi, dirs):
+    """Flip mask for one-hot move words, elementwise."""
     t_lo = jnp.zeros_like(me_lo)
     t_hi = jnp.zeros_like(me_hi)
-    for d, m in _DIRS_REF:
+    for d, m in dirs:
         mlo, mhi = (jnp.asarray(v, _U32) for v in _split(m))
         f_lo, f_hi = _shift(mv_lo, mv_hi, d)
         f_lo, f_hi = f_lo & mlo & op_lo, f_hi & mhi & op_hi
@@ -97,6 +110,17 @@ def _popcount(lo, hi):
     return (
         jax.lax.population_count(lo) + jax.lax.population_count(hi)
     ).astype(jnp.int32)
+
+
+def _mod64(r_lo, r_hi, n):
+    """Exact ``(r_hi*2^32 + r_lo) mod n`` in pure u32 arithmetic (TPU Pallas
+    has no uint64): ``((r_hi % n) * (2^32 % n) + (r_lo % n)) % n``. The
+    intermediate product is <= (n-1)^2 + n < 2^12 for n <= 33 legal moves, so
+    it never overflows u32. Sampling k = rand64 mod n has bias <= n/2^64 —
+    replacing the round-1 ``rand32 % n`` whose bias was ~n/2^32 (~1 in 2^27,
+    VERDICT item 8)."""
+    r2 = (jnp.asarray(0xFFFFFFFF, _U32) % n + _U32(1)) % n  # 2^32 mod n
+    return ((r_hi % n) * r2 + (r_lo % n)) % n
 
 
 def _kth_set_bit(lo, hi, k):
@@ -134,56 +158,66 @@ def _kth_set_bit(lo, hi, k):
     return sel_lo, sel_hi
 
 
-def _step_kernel(rand_ref, me_lo_ref, me_hi_ref, op_lo_ref, op_hi_ref,
-                 out_me_lo, out_me_hi, out_op_lo, out_op_hi, live_ref):
-    me_lo, me_hi = me_lo_ref[:], me_hi_ref[:]
-    op_lo, op_hi = op_lo_ref[:], op_hi_ref[:]
+@functools.lru_cache(maxsize=None)
+def _make_step_kernel(dirs, valid_int):
+    """Kernel specialized for a (direction-mask table, validity mask) pair —
+    i.e. per (board size, rules) engine configuration."""
 
-    lg_lo, lg_hi = _legal(me_lo, me_hi, op_lo, op_hi)
-    has_move = (lg_lo | lg_hi) != 0
-    ol_lo, ol_hi = _legal(op_lo, op_hi, me_lo, me_hi)
-    opp_has = (ol_lo | ol_hi) != 0
-    live = has_move | opp_has
+    def _step_kernel(rand_lo_ref, rand_hi_ref, me_lo_ref, me_hi_ref,
+                     op_lo_ref, op_hi_ref,
+                     out_me_lo, out_me_hi, out_op_lo, out_op_hi, live_ref):
+        me_lo, me_hi = me_lo_ref[:], me_hi_ref[:]
+        op_lo, op_hi = op_lo_ref[:], op_hi_ref[:]
 
-    # one uniform u32 per game (generated outside: pltpu.prng_seed has no
-    # CPU-interpret lowering, and a single u32 is 65x less RNG work than the
-    # unfused path's per-action floats)
-    rand = rand_ref[:]
-    n = jnp.maximum(_popcount(lg_lo, lg_hi), 1)
-    k = (rand % n.astype(_U32)).astype(jnp.int32)
-    mv_lo, mv_hi = _kth_set_bit(lg_lo, lg_hi, k)
+        lg_lo, lg_hi = _legal(me_lo, me_hi, op_lo, op_hi, dirs, valid_int)
+        has_move = (lg_lo | lg_hi) != 0
+        ol_lo, ol_hi = _legal(op_lo, op_hi, me_lo, me_hi, dirs, valid_int)
+        opp_has = (ol_lo | ol_hi) != 0
+        live = has_move | opp_has
 
-    f_lo, f_hi = _flips(me_lo, me_hi, op_lo, op_hi, mv_lo, mv_hi)
+        # two uniform u32 per game (generated outside: pltpu.prng_seed has
+        # no CPU-interpret lowering); combined to a 64-bit draw so the
+        # modulo reduction is effectively unbiased (see _mod64)
+        n = jnp.maximum(_popcount(lg_lo, lg_hi), 1).astype(_U32)
+        k = _mod64(rand_lo_ref[:], rand_hi_ref[:], n).astype(jnp.int32)
+        mv_lo, mv_hi = _kth_set_bit(lg_lo, lg_hi, k)
 
-    # placement (has_move) / pass (no move but opponent has): both swap.
-    place = has_move & live
-    swap = live
-    new_me_lo = jnp.where(place, op_lo & ~f_lo, op_lo)
-    new_me_hi = jnp.where(place, op_hi & ~f_hi, op_hi)
-    new_op_lo = jnp.where(place, me_lo | mv_lo | f_lo, me_lo)
-    new_op_hi = jnp.where(place, me_hi | mv_hi | f_hi, me_hi)
+        f_lo, f_hi = _flips(me_lo, me_hi, op_lo, op_hi, mv_lo, mv_hi, dirs)
 
-    out_me_lo[:] = jnp.where(swap, new_me_lo, me_lo)
-    out_me_hi[:] = jnp.where(swap, new_me_hi, me_hi)
-    out_op_lo[:] = jnp.where(swap, new_op_lo, op_lo)
-    out_op_hi[:] = jnp.where(swap, new_op_hi, op_hi)
-    live_ref[:] = live.astype(jnp.int32)
+        # placement (has_move) / pass (no move but opponent has): both swap.
+        place = has_move & live
+        swap = live
+        new_me_lo = jnp.where(place, op_lo & ~f_lo, op_lo)
+        new_me_hi = jnp.where(place, op_hi & ~f_hi, op_hi)
+        new_op_lo = jnp.where(place, me_lo | mv_lo | f_lo, me_lo)
+        new_op_hi = jnp.where(place, me_hi | mv_hi | f_hi, me_hi)
+
+        out_me_lo[:] = jnp.where(swap, new_me_lo, me_lo)
+        out_me_hi[:] = jnp.where(swap, new_me_hi, me_hi)
+        out_op_lo[:] = jnp.where(swap, new_op_lo, op_lo)
+        out_op_hi[:] = jnp.where(swap, new_op_hi, op_hi)
+        live_ref[:] = live.astype(jnp.int32)
+
+    return _step_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("size", "rules", "interpret"))
 def random_step(boards_u32: jnp.ndarray, rng: jax.Array,
+                size: int = 8, rules: str = "reference",
                 interpret: bool = False):
     """Advance every game one random ply.
 
     boards_u32: (4, R, 128) uint32 — [me_lo, me_hi, opp_lo, opp_hi] with the
     batch reshaped to (R, 128). rng: jax PRNG key (fresh per ply).
+    ``size``/``rules`` select the engine configuration (any supported board
+    size, both rule sets — round 1 was 8x8/reference only).
     Returns (new_boards (4, R, 128), live (R, 128) int32) where live marks
     games that were not yet terminal before the step (terminal boards pass
     through unchanged).
     """
     shape = boards_u32.shape[1:]
-    rand = jax.random.bits(rng, shape, dtype=jnp.uint32)
-    # grid over row-blocks: ~10 u32 I/O buffers per block plus flood
+    rand = jax.random.bits(rng, (2, *shape), dtype=jnp.uint32)
+    # grid over row-blocks: ~11 u32 I/O buffers per block plus flood
     # temporaries must fit the ~16MB VMEM budget
     rows = shape[0]
     # largest divisor of rows <= 256 (prefer sublane multiples of 8)
@@ -195,17 +229,18 @@ def random_step(boards_u32: jnp.ndarray, rng: jax.Array,
     spec = pl.BlockSpec(
         (block_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    dirs, valid_int = _engine_tables(size, rules)
     out = pl.pallas_call(
-        _step_kernel,
+        _make_step_kernel(dirs, valid_int),
         grid=(rows // block_rows,),
         out_shape=(
             *(jax.ShapeDtypeStruct(shape, _U32) for _ in range(4)),
             jax.ShapeDtypeStruct(shape, jnp.int32),
         ),
-        in_specs=[spec] * 5,
+        in_specs=[spec] * 6,
         out_specs=(spec,) * 5,
         interpret=interpret,
-    )(rand, *(boards_u32[i] for i in range(4)))
+    )(rand[0], rand[1], *(boards_u32[i] for i in range(4)))
     new_boards = jnp.stack(out[:4])
     return new_boards, out[4]
 
@@ -231,9 +266,12 @@ def unpack_boards(packed: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return me, opp
 
 
-@functools.partial(jax.jit, static_argnames=("max_plies", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("max_plies", "size", "rules", "interpret")
+)
 def play_random_games(boards_u32: jnp.ndarray, seed: jnp.ndarray,
-                      max_plies: int = 132, interpret: bool = False):
+                      max_plies: int = 132, size: int = 8,
+                      rules: str = "reference", interpret: bool = False):
     """Play all games to termination with the fused kernel.
 
     Returns (final boards, total env steps, plies used)."""
@@ -246,7 +284,8 @@ def play_random_games(boards_u32: jnp.ndarray, seed: jnp.ndarray,
     def body(carry):
         boards, key, t, steps, _ = carry
         key, sub = jax.random.split(key)
-        boards, live = random_step(boards, sub, interpret=interpret)
+        boards, live = random_step(boards, sub, size=size, rules=rules,
+                                   interpret=interpret)
         n_live = live.sum()
         return boards, key, t + 1, steps + n_live, n_live > 0
 

@@ -135,3 +135,99 @@ def test_pass_and_terminal_handling(eng):
     # 0 me => legal! so mover has a move. Give mover nothing: me={},...
     # empty me is degenerate; skip constructing and instead trust the
     # golden probe above + full-game test (passes occur naturally there).
+
+
+# ---------------------------------------------------------------------------
+# Round 2 (VERDICT item 8): board-size/rules generality + unbiased sampling.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("size,rules", [(6, "reference"), (6, "standard"),
+                                        (4, "reference"), (8, "standard")])
+def test_small_board_step_validity(size, rules):
+    """Kernel moves are legal per the XLA engine on every supported
+    (size, rules) configuration — round 1 hard-rejected size != 8."""
+    e = get_engine(size, rules)
+    B = 128
+    s = e.initial_state((B,))
+    packed = pack_boards(s.me, s.opp)
+    legal_before = e.legal_squares(s.me, s.opp)
+    new_packed, live = random_step(
+        packed, jax.random.PRNGKey(31), size=size, rules=rules, interpret=True
+    )
+    me2, opp2 = unpack_boards(new_packed)
+    assert np.asarray(live).all()
+    placed = opp2 & ~(s.me | s.opp)
+    placed_np = bits.to_uint64_np(np.asarray(placed))
+    legal_np = bits.to_uint64_np(np.asarray(legal_before))
+    valid_int = e._valid_int
+    for i in range(B):
+        p = int(placed_np[i])
+        assert p != 0 and (p & (p - 1)) == 0
+        assert p & int(legal_np[i])
+        assert (p & ~valid_int) == 0, "placed outside the board"
+
+
+@pytest.mark.parametrize("size,rules", [(6, "reference"), (4, "standard")])
+def test_small_board_full_games(size, rules):
+    """Full games on sub-8 boards terminate with all stones on-board and
+    terminal per the XLA engine."""
+    e = get_engine(size, rules)
+    B = 128
+    s = e.initial_state((B,))
+    packed = pack_boards(s.me, s.opp)
+    final, steps, plies = play_random_games(
+        packed, jnp.int32(3), max_plies=2 * size * size + 8,
+        size=size, rules=rules, interpret=True,
+    )
+    me, opp = unpack_boards(final)
+    board = type(s)(
+        me=me, opp=opp,
+        move_count=jnp.zeros((B,), jnp.int32),
+        passed=jnp.zeros((B,), jnp.bool_),
+    )
+    assert bool(e.is_terminal(board).all())
+    occupied = bits.to_uint64_np(np.asarray(me)) | bits.to_uint64_np(
+        np.asarray(opp)
+    )
+    assert int((occupied & ~np.uint64(e._valid_int)).max()) == 0, "stones off-board"
+    total = np.asarray(sum(e.stone_counts(board)))
+    assert (total >= 4).all() and (total <= size * size).all()
+
+
+def test_mod64_exactness():
+    """The kernel's two-word modulo is exactly (hi*2^32 + lo) mod n."""
+    from othello_reinforcement_learning_test_tpu.ops.pallas_step import _mod64
+
+    rng = np.random.default_rng(0)
+    lo = rng.integers(0, 2**32, size=4096, dtype=np.uint32)
+    hi = rng.integers(0, 2**32, size=4096, dtype=np.uint32)
+    for n in (1, 2, 3, 5, 7, 13, 16, 31, 32, 33):
+        got = np.asarray(
+            _mod64(jnp.asarray(lo), jnp.asarray(hi), jnp.uint32(n))
+        )
+        want = ((hi.astype(object) * (1 << 32)) + lo.astype(object)) % n
+        np.testing.assert_array_equal(got, want.astype(np.uint32))
+
+
+def test_sampling_is_uniform(eng):
+    """Opening position has 4 legal moves; over many kernel steps each must
+    be picked ~uniformly (the round-1 rand32 % n bias was ~2^-27 — far too
+    small to see here, but this guards against gross regressions, and
+    test_mod64_exactness pins the exact reduction)."""
+    B = 1024
+    s = eng.initial_state((B,))
+    packed = pack_boards(s.me, s.opp)
+    counts = np.zeros(64, np.int64)
+    for seed in range(8):
+        new_packed, _ = random_step(
+            packed, jax.random.PRNGKey(seed), interpret=True
+        )
+        me2, opp2 = unpack_boards(new_packed)
+        placed = bits.to_uint64_np(np.asarray(opp2 & ~(s.me | s.opp)))
+        for i in range(B):
+            counts[int(placed[i]).bit_length() - 1] += 1
+    picked = np.nonzero(counts)[0]
+    assert len(picked) == 4  # exactly the 4 opening moves
+    freq = counts[picked] / counts.sum()
+    assert np.all(np.abs(freq - 0.25) < 0.03), freq
