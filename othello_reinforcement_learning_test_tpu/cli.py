@@ -134,7 +134,10 @@ def eval_command(args) -> None:
 
 def play_command(args) -> None:
     """Human vs AI in the terminal (implemented; reference stub main.py:262-270)."""
-    _maybe_force_cpu(args.device)
+    from .utils.device import resolve_device
+
+    # interactive: probe the accelerator, degrade to CPU if wedged
+    _maybe_force_cpu(resolve_device(args.device))
     import numpy as np
 
     from .evaluation import HumanPlayer, MCTSPlayer

@@ -21,10 +21,14 @@ def main() -> None:
     parser.add_argument("--device", choices=["auto", "cpu"], default="auto")
     args = parser.parse_args()
 
-    if args.device == "cpu":
-        import jax
+    from othello_reinforcement_learning_test_tpu.utils.device import (
+        apply_device,
+        resolve_device,
+    )
 
-        jax.config.update("jax_platforms", "cpu")
+    # interactive server: health-check the accelerator (the TPU tunnel can
+    # wedge); degrade to CPU rather than hang on the first request
+    apply_device(resolve_device(args.device))
 
     from othello_reinforcement_learning_test_tpu.apps.web.game_manager import (
         GameManager,
