@@ -50,6 +50,36 @@ def train_command(args) -> None:
     config = load_config(args.config)
     _maybe_force_cpu(config["system"].get("device", "auto"))
 
+    # multi-host bring-up (flag- or env-gated) BEFORE any backend use: every
+    # process runs this same command with its own --process-id; afterwards
+    # jax.devices() spans all hosts and the trainer shards over them
+    coordinator = args.coordinator or os.environ.get("OTHELLO_COORDINATOR")
+    if coordinator:
+        from .parallel import initialize_distributed
+
+        num_processes = args.num_processes or int(
+            os.environ.get("OTHELLO_NUM_PROCESSES", 0)
+        )
+        process_id = (
+            args.process_id
+            if args.process_id is not None
+            else int(os.environ.get("OTHELLO_PROCESS_ID", -1))
+        )
+        if num_processes <= 0 or process_id < 0:
+            raise SystemExit(
+                "--coordinator requires --num-processes and --process-id "
+                "(or OTHELLO_NUM_PROCESSES / OTHELLO_PROCESS_ID)"
+            )
+        initialize_distributed(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        print(
+            f"distributed: process {jax.process_index()}/{jax.process_count()}"
+            f" up, {jax.device_count()} global devices"
+        )
+
     from .train.trainer import AlphaZeroTrainer
     from .train import checkpoint as ckpt_lib
     print("=" * 70)
@@ -196,6 +226,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--resume", type=str, default=None,
         help="checkpoint path or 'latest' to resume training",
     )
+    p_train.add_argument(
+        "--coordinator", type=str, default=None,
+        help="multi-host: coordinator address host:port "
+             "(or $OTHELLO_COORDINATOR); run one process per host",
+    )
+    p_train.add_argument("--num-processes", type=int, default=None)
+    p_train.add_argument("--process-id", type=int, default=None)
     p_train.set_defaults(func=train_command)
 
     p_eval = sub.add_parser("eval", help="Evaluate the model")

@@ -1,6 +1,8 @@
 from .mesh import (
     DP_AXIS,
     fold_in_process,
+    global_from_local_leading,
+    to_global_replicated,
     initialize_distributed,
     leading_axis_sharding,
     make_mesh,
@@ -12,6 +14,8 @@ from .mesh import (
 __all__ = [
     "DP_AXIS",
     "fold_in_process",
+    "global_from_local_leading",
+    "to_global_replicated",
     "initialize_distributed",
     "leading_axis_sharding",
     "make_mesh",

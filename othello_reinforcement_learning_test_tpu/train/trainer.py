@@ -307,7 +307,27 @@ class AlphaZeroTrainer:
 
         sc_mesh = sc.get("mesh_devices")
         self.mesh = None
-        if sc_mesh:
+        self.process_count = jax.process_count()
+        self.distributed = self.process_count > 1
+        if self.distributed:
+            # multi-host SPMD: one dp mesh over every device of every
+            # process (jax.distributed must already be initialized — cli.py
+            # does this from --coordinator/--num-processes/--process-id)
+            from ..parallel.mesh import make_mesh
+
+            self.mesh = make_mesh()
+            self.log(
+                f"multi-host: {self.process_count} processes x "
+                f"{jax.local_device_count()} local devices -> "
+                f"{jax.device_count()}-device dp mesh"
+            )
+            if self.gating_enabled:
+                self.log(
+                    "warning: arena gating is single-process only; disabled "
+                    "for this multi-host run"
+                )
+                self.gating_enabled = False
+        elif sc_mesh:
             from ..parallel.mesh import make_mesh
 
             self.mesh = make_mesh(int(sc_mesh))
@@ -338,6 +358,14 @@ class AlphaZeroTrainer:
                 self.buffer_capacity, self.engine.num_actions
             )
         self._apply_eval = apply_eval(self.model)
+        if self.distributed:
+            # multi-controller rule: every input of a mesh-spanning jit must
+            # be a global jax.Array — lift the (identical-per-process)
+            # state/buffer once here
+            from ..parallel.mesh import to_global_replicated
+
+            self.state = to_global_replicated(self.state, self.mesh)
+            self.buffer = to_global_replicated(self.buffer, self.mesh)
         # arena gating: self-play always uses the best-so-far network; the
         # candidate must beat it in a gate match to be adopted
         self.best_variables = self.variables() if self.gating_enabled else None
@@ -354,11 +382,18 @@ class AlphaZeroTrainer:
         deque buffer on restart; its load_checkpoint is never wired,
         /root/reference/src/train/trainer.py:387-404)."""
         path = os.path.join(self.checkpoint_dir, name)
+        rng = self.rng
+        if self.distributed:
+            # orbax multi-host serialization requires global arrays; the host
+            # RNG key is the one process-local leaf in the composite
+            from ..parallel.mesh import to_global_replicated
+
+            rng = to_global_replicated(rng, self.mesh)
         ckpt_lib.save_full(
             path,
             train_state=self.state,
             buffer=self.buffer,
-            rng=self.rng,
+            rng=rng,
             config=self.config,
             best=self.best_variables,
         )
@@ -407,6 +442,32 @@ class AlphaZeroTrainer:
         # with gating on, self-play data comes from the BEST network (the
         # AlphaZero scheme); otherwise from the current candidate
         sp_variables = self.best_variables if self.gating_enabled else self.variables()
+        if self.distributed:
+            # each process plays its share locally with a per-process folded
+            # RNG, then the shards assemble into one global trajectory
+            # (games x hosts DP — SURVEY §2; the round-1 gap was that this
+            # path existed but nothing called it)
+            from ..parallel.mesh import fold_in_process, global_from_local_leading
+
+            local_games = max(num_games // self.process_count, 1)
+            self.rng, sub = jax.random.split(self.rng)
+            local_vars = jax.device_get(sp_variables)  # host copy, local jit
+            traj_local = play_games(
+                self.engine,
+                self._apply_eval,
+                local_vars,
+                fold_in_process(sub),
+                num_games=local_games,
+                num_simulations=self.num_simulations,
+                c_puct=self.c_puct,
+                dirichlet_alpha=self.dirichlet_alpha,
+                dirichlet_epsilon=self.dirichlet_epsilon,
+                temperature_threshold=self.temperature_threshold,
+                add_noise=add_noise,
+            )
+            return global_from_local_leading(
+                jax.device_get(traj_local), self.mesh
+            )
         chunk = self.num_parallel_games or num_games
         chunks = []
         remaining = num_games
@@ -507,6 +568,10 @@ class AlphaZeroTrainer:
             if buffer_lib.is_ready(self.buffer, self.batch_size):
                 for _ in range(self.epochs_per_iter):
                     self.rng, sub = jax.random.split(self.rng)
+                    if self.distributed:
+                        from ..parallel.mesh import to_global_replicated
+
+                        sub = to_global_replicated(sub, self.mesh)
                     if self.prioritized:
                         self.state, self.buffer, metrics = train_step_prioritized(
                             self.model,
@@ -535,7 +600,12 @@ class AlphaZeroTrainer:
             jax.block_until_ready(self.state.params)
             tr_time = time.time() - t1
 
-            self.state = self.state.replace(iteration=jnp.int32(it + 1))
+            new_iter = jnp.int32(it + 1)
+            if self.distributed:
+                from ..parallel.mesh import to_global_replicated
+
+                new_iter = to_global_replicated(new_iter, self.mesh)
+            self.state = self.state.replace(iteration=new_iter)
             stats = jax.device_get(buffer_lib.statistics(self.buffer))
             avg = lambda k: (  # noqa: E731
                 float(jnp.mean(jnp.stack([m[k] for m in losses]))) if losses else 0.0

@@ -67,3 +67,31 @@ def test_leading_axis_sharding_spec():
     s = leading_axis_sharding(mesh, 3)
     x = jax.device_put(jnp.zeros((8, 2, 2)), s)
     assert len({sh.device for sh in x.addressable_shards}) == 4
+
+
+def test_arena_sharded_matches_unsharded():
+    """A dp-sharded arena match returns the same results as unsharded
+    (same rng => same games; only the device layout differs)."""
+    from othello_reinforcement_learning_test_tpu.evaluation.arena import Arena
+    from othello_reinforcement_learning_test_tpu.evaluation.players import (
+        GreedyPlayer,
+        RandomPlayer,
+    )
+    from othello_reinforcement_learning_test_tpu.ops.bitboard import get_engine
+
+    engine = get_engine(8, "reference")
+    mesh = make_mesh(8)
+    p1, p2 = RandomPlayer(engine), GreedyPlayer(engine)
+    s_plain = Arena(engine).play_matches(
+        p1, p2, num_games=16, rng=jax.random.PRNGKey(5),
+        opening_random_plies=2,
+    )
+    s_shard = Arena(engine, mesh=mesh).play_matches(
+        p1, p2, num_games=16, rng=jax.random.PRNGKey(5),
+        opening_random_plies=2,
+    )
+    assert (s_plain.wins, s_plain.losses, s_plain.draws) == (
+        s_shard.wins, s_shard.losses, s_shard.draws
+    )
+    assert s_plain.avg_score == s_shard.avg_score
+    assert s_plain.avg_moves == s_shard.avg_moves
