@@ -19,9 +19,12 @@ def main() -> None:
     parser.add_argument("--simulations", type=int, default=100)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--output-dir", default="data/benchmark")
-    parser.add_argument("--opening-random-plies", type=int, default=0,
-                        help="randomize first k plies (0 = reference-faithful "
-                             "deterministic games)")
+    parser.add_argument("--opening-random-plies", type=int, default=4,
+                        help="randomize first k plies for the headline row "
+                             "(deterministic pairs quantize win rates to "
+                             "{0,50,100}%% — see evaluation/arena.py)")
+    parser.add_argument("--skip-deterministic", action="store_true",
+                        help="omit the reference-faithful deterministic row")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
 
@@ -55,25 +58,35 @@ def main() -> None:
         "timestamp": datetime.now().isoformat(),
         "simulations": args.simulations,
         "games_per_opponent": args.games,
+        "opening_random_plies": args.opening_random_plies,
         "results": {},
+        "deterministic_results": {},
     }
+    # Two rows per opponent: randomized openings (the headline — diverse
+    # games) and, unless skipped, the reference-faithful deterministic pair
+    # (which quantizes win rates to {0, 50, 100}% for deterministic players;
+    # kept so the two regimes can't be conflated).
+    regimes = [("results", args.opening_random_plies)]
+    if not args.skip_deterministic and args.opening_random_plies != 0:
+        regimes.append(("deterministic_results", 0))
     for opponent in (RandomPlayer(engine), GreedyPlayer(engine)):
-        rng, sub = jax.random.split(rng)
-        s = arena.play_matches(
-            player, opponent, args.games, sub,
-            opening_random_plies=args.opening_random_plies,
-        )
-        scores = [r.player1_score for r in s.results]
-        report["results"][opponent.name] = {
-            "wins": s.wins,
-            "losses": s.losses,
-            "draws": s.draws,
-            "win_rate": s.win_rate,
-            "avg_score": s.avg_score,
-            "score_min": min(scores),
-            "score_max": max(scores),
-            "avg_moves": s.avg_moves,
-        }
+        for key, plies in regimes:
+            rng, sub = jax.random.split(rng)
+            s = arena.play_matches(
+                player, opponent, args.games, sub,
+                opening_random_plies=plies,
+            )
+            scores = [r.player1_score for r in s.results]
+            report[key][opponent.name] = {
+                "wins": s.wins,
+                "losses": s.losses,
+                "draws": s.draws,
+                "win_rate": s.win_rate,
+                "avg_score": s.avg_score,
+                "score_min": min(scores),
+                "score_max": max(scores),
+                "avg_moves": s.avg_moves,
+            }
 
     os.makedirs(args.output_dir, exist_ok=True)
     stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
