@@ -16,6 +16,15 @@ def main() -> None:
     parser.add_argument("--repeats", type=int, default=10)
     parser.add_argument("--fused", action="store_true",
                         help="also measure the fused Pallas inference trunk")
+    parser.add_argument("--fused-variants", nargs="+",
+                        default=["matmul9", "wide", "int8", "int8_xla"],
+                        help="trunk variants to measure with --fused: "
+                             "matmul9 (9 small matmuls), wide (one "
+                             "(M,C)@(C,9C) matmul per conv), int8 (Pallas "
+                             "int8, 2x MXU peak), int8_xla (lax-only int8)")
+    parser.add_argument("--block-games", type=int, default=0,
+                        help="games per Pallas grid block (0 = per-variant "
+                             "default)")
     parser.add_argument("--chain", type=int, default=16,
                         help="forwards chained inside one jit call (amortizes "
                              "dispatch/tunnel latency)")
@@ -95,34 +104,43 @@ def main() -> None:
 
         model = OthelloResNet(num_blocks=args.blocks, num_filters=args.filters)
         variables = init_variables(model, jax.random.PRNGKey(0))
-        fused = FusedInference(model, interpret=dev.platform != "tpu")
         chain = args.chain
 
-        @jax.jit
-        def fwd_fused(v, x):
-            def body(carry, _):
-                lp, val = fused(v, x + carry)
-                out = lp.sum() + val.sum()
-                return out * 1e-9, out
+        for variant in args.fused_variants:
+            fused = FusedInference(
+                model,
+                interpret=dev.platform != "tpu" and variant != "int8_xla",
+                variant=variant, block_games=args.block_games,
+            )
 
-            _, outs = jax.lax.scan(body, jnp.float32(0), None, length=chain)
-            return outs.sum()
+            @jax.jit
+            def fwd_fused(v, x, fused=fused):
+                def body(carry, _):
+                    lp, val = fused(v, x + carry)
+                    out = lp.sum() + val.sum()
+                    return out * 1e-9, out
 
-        print("--- fused Pallas trunk (eval mode, bf16) ---")
-        for b in args.batches:
-            x = jnp.zeros((b, 8, 8, 3), jnp.float32)
-            try:
-                float(fwd_fused(variables, x))
-                t0 = time.perf_counter()
-                for _ in range(args.repeats):
-                    float(fwd_fused(variables, x))
-                dt = (time.perf_counter() - t0) / (args.repeats * chain)
-                print(
-                    f"batch {b:5d}: {b / dt:12,.0f} boards/sec "
-                    f"({dt * 1e3:7.2f} ms/batch, x{chain} chained)"
+                _, outs = jax.lax.scan(
+                    body, jnp.float32(0), None, length=chain
                 )
-            except Exception as e:  # noqa: BLE001
-                print(f"batch {b:5d}: failed ({type(e).__name__}: {e})")
+                return outs.sum()
+
+            print(f"--- fused trunk variant {variant} "
+                  f"(eval mode, block_games={fused.block_games}) ---")
+            for b in args.batches:
+                x = jnp.zeros((b, 8, 8, 3), jnp.float32)
+                try:
+                    float(fwd_fused(variables, x))
+                    t0 = time.perf_counter()
+                    for _ in range(args.repeats):
+                        float(fwd_fused(variables, x))
+                    dt = (time.perf_counter() - t0) / (args.repeats * chain)
+                    print(
+                        f"batch {b:5d}: {b / dt:12,.0f} boards/sec "
+                        f"({dt * 1e3:7.2f} ms/batch, x{chain} chained)"
+                    )
+                except Exception as e:  # noqa: BLE001
+                    print(f"batch {b:5d}: failed ({type(e).__name__}: {e})")
 
     try:
         stats = dev.memory_stats()

@@ -94,6 +94,150 @@ def _trunk_kernel(x_ref, w_ref, b_ref, out_ref, *, num_blocks: int, size: int):
     out_ref[:] = x
 
 
+def fold_block_params_wide(variables: Dict, num_blocks: int):
+    """Fold BN and lay the trunk out for the wide-matmul kernel.
+
+    Returns (w (L, C, 9*C) bf16, bias (L, C) f32): tap k's (C_in, C_out)
+    matrix in columns [k*C, (k+1)*C), k row-major over (dy, dx). One
+    (M, C) @ (C, 9C) matmul then replaces nine (M, C) @ (C, C) ones —
+    shift and channel-contraction commute, so the shifts move to the
+    matmul *output*, and the MXU sees a 9x wider (better-pipelined) op.
+    """
+    w, b = fold_block_params(variables, num_blocks)  # (L,3,3,C,C) bf16
+    L, _, _, C, _ = w.shape
+    wide = w.reshape(L, 9, C, C).transpose(0, 2, 1, 3).reshape(L, C, 9 * C)
+    return wide, b
+
+
+def _shifted_accum(z, bias, Bblk, S, C, acc_dtype=jnp.float32):
+    """y[p] = sum_k z[p + o_k, tap k] for z (M, 9C): pad once spatially,
+    accumulate nine lane-aligned column slices."""
+    z = z.reshape(Bblk, S, S, 9 * C)
+    padded = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = jnp.broadcast_to(
+        bias[None, None, None, :], (Bblk, S, S, C)
+    ).astype(acc_dtype)
+    for k, (dy, dx) in enumerate(_OFFSETS):
+        acc = acc + padded[
+            :, 1 + dy: 1 + dy + S, 1 + dx: 1 + dx + S, k * C: (k + 1) * C
+        ].astype(acc_dtype)
+    return acc
+
+
+def _trunk_kernel_wide(x_ref, w_ref, b_ref, out_ref, *, num_blocks: int,
+                       size: int):
+    """x: (Bblk, S, S, C) bf16; w: (L, C, 9C) bf16; b: (L, C) f32."""
+    x = x_ref[:]
+    Bblk, S, _, C = x.shape
+
+    def conv3x3(h, layer):
+        z = jax.lax.dot_general(
+            h.reshape(Bblk * S * S, C), w_ref[layer],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)  # bf16 staging keeps the padded copy small
+        return _shifted_accum(z, b_ref[layer], Bblk, S, C)
+
+    for i in range(num_blocks):
+        y = jnp.maximum(conv3x3(x, 2 * i), 0.0).astype(jnp.bfloat16)
+        z = conv3x3(y, 2 * i + 1)
+        x = jnp.maximum(x.astype(jnp.float32) + z, 0.0).astype(jnp.bfloat16)
+
+    out_ref[:] = x
+
+
+def _trunk_kernel_int8(x_ref, w_ref, s_ref, b_ref, out_ref, *,
+                       num_blocks: int, size: int):
+    """Int8 trunk: w (L, C, 9C) int8 with per-output-channel scale s (L, C)
+    shared across taps, so all nine shifted taps accumulate in one int32
+    sum with a single dequant (see models/quantized.py for the scheme)."""
+    x = x_ref[:].astype(jnp.float32)
+    Bblk, S, _, C = x.shape
+
+    def conv3x3(h, layer):
+        # dynamic per-tensor activation scale (inputs are post-ReLU)
+        s_act = jnp.maximum(jnp.max(jnp.abs(h)), 1e-8) / 127.0
+        q = jnp.clip(jnp.round(h / s_act), -127, 127).astype(jnp.int8)
+        z = jax.lax.dot_general(
+            q.reshape(Bblk * S * S, C), w_ref[layer],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc = _shifted_accum(z, jnp.zeros((C,), jnp.int32), Bblk, S, C,
+                             acc_dtype=jnp.int32)
+        return acc.astype(jnp.float32) * (s_act * s_ref[layer]) \
+            + b_ref[layer][None, None, None, :]
+
+    for i in range(num_blocks):
+        y = jnp.maximum(conv3x3(x, 2 * i), 0.0)
+        z = conv3x3(y, 2 * i + 1)
+        x = jnp.maximum(x + z, 0.0)
+
+    out_ref[:] = x.astype(jnp.bfloat16)
+
+
+def _grid_call(kern, x, consts, num_blocks, block_games, interpret):
+    """Shared pallas_call plumbing: block the games axis, broadcast consts."""
+    B, S, _, C = x.shape
+    bg = block_games
+    while B % bg:
+        bg //= 2
+    return pl.pallas_call(
+        kern,
+        grid=(B // bg,),
+        in_specs=[
+            pl.BlockSpec((bg, S, S, C), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec(c.shape, (lambda nd: lambda i: (0,) * nd)(c.ndim),
+                         memory_space=pltpu.VMEM)
+            for c in consts
+        ],
+        out_specs=pl.BlockSpec((bg, S, S, C), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, S, C), jnp.bfloat16),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), *consts)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_blocks", "block_games", "interpret")
+)
+def fused_trunk_wide(
+    x: jnp.ndarray,
+    weights: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_blocks: int,
+    block_games: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Wide-matmul bf16 trunk. x: (B, S, S, C); weights from
+    ``fold_block_params_wide``."""
+    kern = functools.partial(_trunk_kernel_wide, num_blocks=num_blocks,
+                             size=x.shape[1])
+    return _grid_call(kern, x, (weights, bias), num_blocks, block_games,
+                      interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_blocks", "block_games", "interpret")
+)
+def fused_trunk_int8(
+    x: jnp.ndarray,
+    w_int8: jnp.ndarray,
+    w_scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_blocks: int,
+    block_games: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Int8 trunk (2x MXU peak). Weights from ``quantized.quantize_trunk``."""
+    kern = functools.partial(_trunk_kernel_int8, num_blocks=num_blocks,
+                             size=x.shape[1])
+    return _grid_call(kern, x, (w_int8, w_scale, bias), num_blocks,
+                      block_games, interpret)
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_blocks", "block_games", "interpret")
 )
@@ -134,11 +278,19 @@ class FusedInference:
     """Eval-mode forward with the Pallas trunk: stem and heads in XLA,
     residual trunk fused. Drop-in for ``apply_fn(variables, x)``."""
 
+    VARIANTS = ("matmul9", "wide", "int8", "int8_xla")
+
     def __init__(self, model: OthelloResNet, interpret: bool = False,
-                 block_games: int = 32):
+                 block_games: int = 0, variant: str = "matmul9"):
+        if variant not in self.VARIANTS:
+            raise ValueError(f"variant must be one of {self.VARIANTS}")
         self.model = model
         self.interpret = interpret
-        self.block_games = block_games
+        # 0 = per-variant default tuned for the ~16 MB VMEM budget
+        self.block_games = block_games or {
+            "matmul9": 32, "wide": 16, "int8": 8, "int8_xla": 0
+        }[variant]
+        self.variant = variant
 
     def __call__(self, variables: Dict, x: jnp.ndarray):
         model = self.model
@@ -158,11 +310,30 @@ class FusedInference:
             return jnp.maximum(h.astype(jnp.float32) * g + b, 0.0)
 
         h = stem(x).astype(jnp.bfloat16)
-        w_t, b_t = fold_block_params(variables, model.num_blocks)
-        h = fused_trunk(
-            h, w_t, b_t, model.num_blocks,
-            block_games=self.block_games, interpret=self.interpret,
-        )
+        if self.variant == "matmul9":
+            w_t, b_t = fold_block_params(variables, model.num_blocks)
+            h = fused_trunk(
+                h, w_t, b_t, model.num_blocks,
+                block_games=self.block_games, interpret=self.interpret,
+            )
+        elif self.variant == "wide":
+            w_t, b_t = fold_block_params_wide(variables, model.num_blocks)
+            h = fused_trunk_wide(
+                h, w_t, b_t, model.num_blocks,
+                block_games=self.block_games, interpret=self.interpret,
+            )
+        else:
+            from .quantized import quantize_trunk, xla_int8_trunk
+            qt = quantize_trunk(variables, model.num_blocks)
+            if self.variant == "int8":
+                h = fused_trunk_int8(
+                    h, qt.w_int8, qt.w_scale, qt.bias, model.num_blocks,
+                    block_games=self.block_games, interpret=self.interpret,
+                )
+            else:  # int8_xla — lax-only, runs on any backend
+                h = xla_int8_trunk(
+                    h.astype(jnp.float32), qt, model.num_blocks
+                ).astype(jnp.bfloat16)
 
         # heads in XLA (tiny): reuse the flax submodules by name
         s = model.board_size

@@ -56,6 +56,58 @@ def test_fused_matches_flax_eval(setup):
     )
 
 
+def test_wide_variant_matches_flax_eval(setup):
+    """Wide-matmul trunk (one (M,C)@(C,9C) per conv, shifts on the output
+    side) must agree with the Flax model like the 9-matmul kernel does."""
+    model, variables = setup
+    fused = FusedInference(model, interpret=True, variant="wide")
+    x = jax.random.uniform(jax.random.PRNGKey(3), (8, 8, 8, 3))
+    lp_ref, v_ref = model.apply(variables, x, train=False)
+    lp, v = fused(variables, x)
+    np.testing.assert_allclose(
+        np.exp(np.asarray(lp)), np.exp(np.asarray(lp_ref)), atol=0.03
+    )
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=0.06)
+    np.testing.assert_array_equal(
+        np.asarray(lp).argmax(-1), np.asarray(lp_ref).argmax(-1)
+    )
+
+
+@pytest.mark.parametrize("variant", ["int8_xla", "int8"])
+def test_int8_variants_match_flax_eval(setup, variant):
+    """Int8 trunk (per-output-channel weight scales, dynamic per-tensor
+    activation scales): distributions close to bf16, values within the
+    quantization budget. Play-strength parity is validated separately by
+    the arena (int8 vs bf16 match in eval tooling)."""
+    model, variables = setup
+    fused = FusedInference(model, interpret=True, variant=variant)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (8, 8, 8, 3))
+    lp_ref, v_ref = model.apply(variables, x, train=False)
+    lp, v = fused(variables, x)
+    assert lp.shape == lp_ref.shape and v.shape == v_ref.shape
+    assert np.all(np.isfinite(np.asarray(lp)))
+    np.testing.assert_allclose(
+        np.exp(np.asarray(lp)), np.exp(np.asarray(lp_ref)), atol=0.08
+    )
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=0.15)
+
+
+def test_int8_pallas_matches_int8_xla(setup):
+    """The Pallas int8 kernel and the lax-only int8 path share weights and
+    scheme; they should agree tightly (only per-block vs global activation
+    scales differ)."""
+    model, variables = setup
+    a = FusedInference(model, interpret=True, variant="int8")
+    b = FusedInference(model, interpret=True, variant="int8_xla")
+    x = jax.random.uniform(jax.random.PRNGKey(5), (8, 8, 8, 3))
+    lp_a, v_a = a(variables, x)
+    lp_b, v_b = b(variables, x)
+    np.testing.assert_allclose(
+        np.exp(np.asarray(lp_a)), np.exp(np.asarray(lp_b)), atol=0.02
+    )
+    np.testing.assert_allclose(np.asarray(v_a), np.asarray(v_b), atol=0.04)
+
+
 def test_fused_uneven_batch(setup):
     model, variables = setup
     fused = FusedInference(model, interpret=True, block_games=8)
