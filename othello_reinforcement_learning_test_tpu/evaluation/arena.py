@@ -190,10 +190,23 @@ class Arena:
     def play_game(self, player1: Player, player2: Player, rng: jax.Array,
                   player1_color: str = "black") -> MatchResult:
         """Single game (reference arena.py:68-162). Runs through the batched
-        path with num_games=1; ``player1_color`` picks the assignment."""
-        num_games = 2 if player1_color == "white" else 1
-        summary = self.play_matches(player1, player2, num_games, rng)
-        return summary.results[-1 if player1_color == "white" else 0]
+        path with num_games=1; ``player1_color`` picks the assignment.
+        For white, the players are swapped (game 0 seats the first player as
+        black) and the result re-expressed from player1's side — one game
+        played either way."""
+        if player1_color == "white":
+            r = self.play_matches(player2, player1, 1, rng).results[0]
+            return MatchResult(
+                player1=player1.name,
+                player2=player2.name,
+                winner=-r.winner,
+                player1_score=r.player2_score,
+                player2_score=r.player1_score,
+                num_moves=r.num_moves,
+                duration=r.duration,
+                player1_color="white",
+            )
+        return self.play_matches(player1, player2, 1, rng).results[0]
 
     @staticmethod
     def _print_summary(s: MatchSummary) -> None:  # noqa: D102

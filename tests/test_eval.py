@@ -103,3 +103,21 @@ def test_mcts_player_from_checkpoint(eng, tmp_path):
     a = np.asarray(player.act(jax.random.PRNGKey(3), boards))
     legal = np.asarray(player.engine.legal_actions(boards))
     assert legal[0, a[0]] and legal[1, a[1]]
+
+
+def test_play_game_white_plays_one_game(eng):
+    """play_game(player1_color="white") seats player1 white by swapping the
+    players for ONE game (round-1 version played two and discarded one) and
+    re-expresses the result from player1's side."""
+    g, r = GreedyPlayer(eng), RandomPlayer(eng)
+    arena = Arena(eng)
+    rng = jax.random.PRNGKey(3)
+    res_w = arena.play_game(g, r, rng, player1_color="white")
+    assert res_w.player1_color == "white"
+    assert res_w.player1 == g.name and res_w.player2 == r.name
+    # the mirrored seating with the same rng: identical game, flipped view
+    res_m = arena.play_game(r, g, rng, player1_color="black")
+    assert res_m.winner == -res_w.winner
+    assert res_m.player1_score == res_w.player2_score
+    assert res_m.player2_score == res_w.player1_score
+    assert res_m.num_moves == res_w.num_moves
