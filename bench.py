@@ -149,10 +149,20 @@ def bench_mcts(args, jax, jnp, engine):
     model = OthelloResNet(num_blocks=args.blocks, num_filters=args.filters)
     variables = init_variables(model, jax.random.PRNGKey(0))
 
+    if args.net_variant == "xla":
+        apply_fn = apply_eval(model)
+    else:
+        # fused Pallas inference trunk (TPU): int8 measures +37% boards/s
+        # over XLA bf16 at B=4096 (see results/nn_inference_decomposition.md)
+        from othello_reinforcement_learning_test_tpu.models.pallas_resnet import (
+            FusedInference,
+        )
+        apply_fn = FusedInference(model, variant=args.net_variant)
+
     def run(seed):
         traj = play_games(
             engine,
-            apply_eval(model),
+            apply_fn,
             variables,
             jax.random.PRNGKey(seed),
             num_games=B,
@@ -187,6 +197,7 @@ def bench_mcts(args, jax, jnp, engine):
         "batch": B,
         "num_simulations": sims,
         "model": f"{args.blocks}x{args.filters}",
+        "net_variant": args.net_variant,
         "wall_s": round(dt, 3),
     }
 
@@ -241,6 +252,10 @@ def main() -> None:
     parser.add_argument("--platform", type=str, default=None)
     parser.add_argument("--size", type=int, default=8)
     parser.add_argument("--simulations", type=int, default=25)
+    parser.add_argument("--net-variant", default="xla",
+                        choices=["xla", "matmul9", "int8", "int8_xla"],
+                        help="mcts mode: network inference path (xla bf16, "
+                             "fused Pallas bf16 trunk, fused Pallas int8)")
     parser.add_argument("--blocks", type=int, default=10)
     parser.add_argument("--filters", type=int, default=128)
     parser.add_argument("--pallas", action=argparse.BooleanOptionalAction,

@@ -176,7 +176,134 @@ def _trunk_kernel_int8(x_ref, w_ref, s_ref, b_ref, out_ref, *,
     out_ref[:] = x.astype(jnp.bfloat16)
 
 
-def _grid_call(kern, x, consts, num_blocks, block_games, interpret):
+def _trunk_kernel_int8_m9(x_ref, w_ref, s_ref, b_ref, out_ref, *,
+                          num_blocks: int, size: int):
+    """Int8 trunk, input-side shifts: quantize h once per layer, pad the
+    *int8* activations (4x smaller than the int32 z of the output-shift
+    kernel), nine (M, C) @ (C, C) int8 matmuls summed in int32.
+
+    Rationale: the matmuls are ~10x cheaper than the VPU/VMEM traffic at
+    these shapes, so the kernel is structured to move the fewest bytes —
+    shifting int8 inputs beats shifting int32 outputs."""
+    x = x_ref[:].astype(jnp.float32)
+    Bblk, S, _, C = x.shape
+    M = Bblk * S * S
+
+    def conv3x3(h, layer):
+        s_act = jnp.maximum(jnp.max(jnp.abs(h)), 1e-8) / 127.0
+        q = jnp.clip(jnp.round(h / s_act), -127, 127).astype(jnp.int8)
+        padded = jnp.pad(q, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        acc = None
+        for k, (dy, dx) in enumerate(_OFFSETS):
+            shifted = padded[:, 1 + dy: 1 + dy + S, 1 + dx: 1 + dx + S, :]
+            z = jax.lax.dot_general(
+                shifted.reshape(M, C), w_ref[layer, k],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc = z if acc is None else acc + z
+        acc = acc.reshape(Bblk, S, S, C)
+        return acc.astype(jnp.float32) * (s_act * s_ref[layer]) \
+            + b_ref[layer][None, None, None, :]
+
+    for i in range(num_blocks):
+        y = jnp.maximum(conv3x3(x, 2 * i), 0.0)
+        z = conv3x3(y, 2 * i + 1)
+        x = jnp.maximum(x + z, 0.0)
+
+    out_ref[:] = x.astype(jnp.bfloat16)
+
+
+def _trunk_kernel_int8_patch(x_ref, w_ref, s_ref, b_ref, out_ref, patch_ref,
+                             *, num_blocks: int, size: int):
+    """Int8 trunk, im2col-in-VMEM: build the (M, 9C) int8 patch matrix in a
+    scratch ref (nine lane-aligned column writes), then ONE deep
+    (M, 9C) @ (9C, C) int8 matmul per conv. Minimum VMEM traffic of the
+    int8 variants and the deepest (most MXU-efficient) contraction.
+    w: (L, 9C, C) int8, rows tap-major (see quantize_trunk + caller)."""
+    x = x_ref[:].astype(jnp.float32)
+    Bblk, S, _, C = x.shape
+    M = Bblk * S * S
+
+    def conv3x3(h, layer):
+        s_act = jnp.maximum(jnp.max(jnp.abs(h)), 1e-8) / 127.0
+        q = jnp.clip(jnp.round(h / s_act), -127, 127).astype(jnp.int8)
+        padded = jnp.pad(q, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        for k, (dy, dx) in enumerate(_OFFSETS):
+            shifted = padded[:, 1 + dy: 1 + dy + S, 1 + dx: 1 + dx + S, :]
+            patch_ref[:, k * C: (k + 1) * C] = shifted.reshape(M, C)
+        z = jax.lax.dot_general(
+            patch_ref[:], w_ref[layer],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).reshape(Bblk, S, S, C)
+        return z.astype(jnp.float32) * (s_act * s_ref[layer]) \
+            + b_ref[layer][None, None, None, :]
+
+    for i in range(num_blocks):
+        y = jnp.maximum(conv3x3(x, 2 * i), 0.0)
+        z = conv3x3(y, 2 * i + 1)
+        x = jnp.maximum(x + z, 0.0)
+
+    out_ref[:] = x.astype(jnp.bfloat16)
+
+
+def _trunk_kernel_int8_flat(x_ref, w_ref, s_ref, b_ref, out_ref, patch_ref,
+                            *, num_blocks: int, size: int):
+    """Int8 trunk in flat (M, C) layout — the fast path.
+
+    The other kernels move a (M, 9C) int32 intermediate (or relayout
+    (Bblk, S, S, C) spatial slices) per conv; that VMEM traffic, not the
+    MXU, is their measured bound. Here everything stays in (M = games*S*S,
+    C) space where a (dy, dx) spatial shift is a plain row shift by
+    s = S*dy + dx with a per-position validity mask (which also kills the
+    cross-game leakage of a flat shift). Per conv: quantize once, nine
+    masked row-shifted int8 column-writes into a (M, 9C) scratch patch,
+    then ONE deep (M, 9C) @ (9C, C) int8 matmul straight to the (M, C)
+    int32 output — the big intermediate is int8, 4x smaller.
+
+    w: (L, 9C, C) int8 tap-major rows; s: (L, C) f32 per-output-channel
+    scales; b: (L, C) f32 folded-BN bias.
+    """
+    Bblk, S, _, C = x_ref.shape
+    M = Bblk * S * S
+    x = x_ref[:].reshape(M, C).astype(jnp.float32)
+
+    # per-position validity masks for each tap, (9, S*S) int8, built from
+    # iota at trace time (compile-time constants)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) % (S * S)
+    r, c = pos // S, pos % S
+
+    def conv3x3(h, layer):
+        s_act = jnp.maximum(jnp.max(jnp.abs(h)), 1e-8) / 127.0
+        q = jnp.clip(jnp.round(h / s_act), -127, 127).astype(jnp.int8)
+        padded = jnp.pad(q, ((32, 32), (0, 0)))
+        for k, (dy, dx) in enumerate(_OFFSETS):
+            s_off = 32 + S * dy + dx
+            shifted = padded[s_off: s_off + M, :]
+            valid = ((r + dy >= 0) & (r + dy < S)
+                     & (c + dx >= 0) & (c + dx < S))
+            patch_ref[:, k * C: (k + 1) * C] = jnp.where(
+                valid, shifted, jnp.int8(0)
+            )
+        z = jax.lax.dot_general(
+            patch_ref[:], w_ref[layer],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return z.astype(jnp.float32) * (s_act * s_ref[layer])[None, :] \
+            + b_ref[layer][None, :]
+
+    for i in range(num_blocks):
+        y = jnp.maximum(conv3x3(x, 2 * i), 0.0)
+        z = conv3x3(y, 2 * i + 1)
+        x = jnp.maximum(x + z, 0.0)
+
+    out_ref[:] = x.reshape(Bblk, S, S, C).astype(jnp.bfloat16)
+
+
+def _grid_call(kern, x, consts, num_blocks, block_games, interpret,
+               scratch_shapes=()):
     """Shared pallas_call plumbing: block the games axis, broadcast consts."""
     B, S, _, C = x.shape
     bg = block_games
@@ -196,6 +323,7 @@ def _grid_call(kern, x, consts, num_blocks, block_games, interpret):
         out_specs=pl.BlockSpec((bg, S, S, C), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, S, S, C), jnp.bfloat16),
+        scratch_shapes=[s(bg) for s in scratch_shapes],
         interpret=interpret,
     )(x.astype(jnp.bfloat16), *consts)
 
@@ -220,7 +348,8 @@ def fused_trunk_wide(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_blocks", "block_games", "interpret")
+    jax.jit,
+    static_argnames=("num_blocks", "block_games", "interpret", "kernel"),
 )
 def fused_trunk_int8(
     x: jnp.ndarray,
@@ -230,12 +359,37 @@ def fused_trunk_int8(
     num_blocks: int,
     block_games: int = 8,
     interpret: bool = False,
+    kernel: str = "out_shift",
 ) -> jnp.ndarray:
-    """Int8 trunk (2x MXU peak). Weights from ``quantized.quantize_trunk``."""
-    kern = functools.partial(_trunk_kernel_int8, num_blocks=num_blocks,
-                             size=x.shape[1])
+    """Int8 trunk (2x MXU peak). Weights from ``quantized.quantize_trunk``
+    ((L, C, 9C) tap-major columns). ``kernel`` picks the data-movement
+    strategy: "out_shift" (one wide matmul, int32 output shifts), "m9"
+    (int8 input shifts, nine matmuls), "patch" (im2col scratch, one deep
+    matmul per conv)."""
+    S, C = x.shape[1], x.shape[-1]
+    scratch = ()
+    if kernel == "out_shift":
+        kfn = _trunk_kernel_int8
+    elif kernel == "m9":
+        kfn = _trunk_kernel_int8_m9
+        # (L, C, 9C) -> (L, 9, C, C): per-tap square matrices
+        L = w_int8.shape[0]
+        w_int8 = w_int8.reshape(L, C, 9, C).transpose(0, 2, 1, 3)
+    elif kernel in ("patch", "flat"):
+        kfn = (_trunk_kernel_int8_patch if kernel == "patch"
+               else _trunk_kernel_int8_flat)
+        # (L, C, 9C) -> (L, 9C, C): tap-major rows for the im2col matmul
+        L = w_int8.shape[0]
+        w_int8 = w_int8.reshape(L, C, 9, C).transpose(0, 2, 1, 3) \
+            .reshape(L, 9 * C, C)
+        scratch = (
+            lambda bg: pltpu.VMEM((bg * S * S, 9 * C), jnp.int8),
+        )
+    else:
+        raise ValueError(f"unknown int8 kernel {kernel!r}")
+    kern = functools.partial(kfn, num_blocks=num_blocks, size=S)
     return _grid_call(kern, x, (w_int8, w_scale, bias), num_blocks,
-                      block_games, interpret)
+                      block_games, interpret, scratch_shapes=scratch)
 
 
 @functools.partial(
@@ -278,7 +432,8 @@ class FusedInference:
     """Eval-mode forward with the Pallas trunk: stem and heads in XLA,
     residual trunk fused. Drop-in for ``apply_fn(variables, x)``."""
 
-    VARIANTS = ("matmul9", "wide", "int8", "int8_xla")
+    VARIANTS = ("matmul9", "wide", "int8", "int8_m9", "int8_patch",
+                "int8_flat", "int8_xla")
 
     def __init__(self, model: OthelloResNet, interpret: bool = False,
                  block_games: int = 0, variant: str = "matmul9"):
@@ -287,8 +442,11 @@ class FusedInference:
         self.model = model
         self.interpret = interpret
         # 0 = per-variant default tuned for the ~16 MB VMEM budget
+        # measured on TPU v5e at B=4096 (trunk-only, 10x128): out_shift int8
+        # bg=16 is the sweet spot (10.1 ms vs 11.2 at bg=8, 11.7 at bg=32)
         self.block_games = block_games or {
-            "matmul9": 32, "wide": 16, "int8": 8, "int8_xla": 0
+            "matmul9": 32, "wide": 16, "int8": 16, "int8_m9": 32,
+            "int8_patch": 32, "int8_flat": 32, "int8_xla": 0,
         }[variant]
         self.variant = variant
 
@@ -325,10 +483,15 @@ class FusedInference:
         else:
             from .quantized import quantize_trunk, xla_int8_trunk
             qt = quantize_trunk(variables, model.num_blocks)
-            if self.variant == "int8":
+            if self.variant.startswith("int8_") and self.variant != "int8_xla" \
+                    or self.variant == "int8":
+                kernel = {"int8": "out_shift", "int8_m9": "m9",
+                          "int8_patch": "patch",
+                          "int8_flat": "flat"}[self.variant]
                 h = fused_trunk_int8(
                     h, qt.w_int8, qt.w_scale, qt.bias, model.num_blocks,
                     block_games=self.block_games, interpret=self.interpret,
+                    kernel=kernel,
                 )
             else:  # int8_xla — lax-only, runs on any backend
                 h = xla_int8_trunk(

@@ -5,7 +5,7 @@ Replaces the reference's Python object-tree search
 "BatchMCTS" (``src/train/parallel_self_play.py:31-216``) with a single
 fixed-shape array program: every game carries a node pool of
 ``num_simulations + 1`` slots, selection/expansion/backup are pure batched
-array ops under ``vmap``, and **all leaf evaluations across all games batch
+DENSE batched array ops, and **all leaf evaluations across all games batch
 into one network call per simulation** — the whole search jit-compiles into
 one XLA program (no per-node Python, no batch-1 inference).
 
@@ -43,26 +43,26 @@ NO_CHILD = jnp.int32(-1)
 
 
 class Tree(struct.PyTreeNode):
-    """Node pool for one game (leading batch axes added via vmap).
+    """Batched node pools: every leaf carries a leading (B,) games axis.
 
-    ``N`` = num_simulations + 1 slots; slot 0 is the root.
+    ``N`` = num_simulations + 1 slots per game; slot 0 is the root.
     """
 
-    board_me: jnp.ndarray  # (N, 2) uint32
-    board_opp: jnp.ndarray  # (N, 2) uint32
-    visit: jnp.ndarray  # (N,) int32
-    value_sum: jnp.ndarray  # (N,) float32 — from the node's own perspective
-    prior: jnp.ndarray  # (N, A) float32
-    children: jnp.ndarray  # (N, A) int32, NO_CHILD when absent
+    board_me: jnp.ndarray  # (B, N, 2) uint32
+    board_opp: jnp.ndarray  # (B, N, 2) uint32
+    visit: jnp.ndarray  # (B, N) int32
+    value_sum: jnp.ndarray  # (B, N) float32 — from the node's own perspective
+    prior: jnp.ndarray  # (B, N, A) float32
+    children: jnp.ndarray  # (B, N, A) int32, NO_CHILD when absent
     # per-edge statistics stored AT THE PARENT so selection is one contiguous
-    # row read instead of A scattered gathers through `children` (gathers are
-    # the TPU bottleneck); values are from the CHILD's own perspective.
-    child_visit: jnp.ndarray  # (N, A) int32
-    child_value_sum: jnp.ndarray  # (N, A) float32
-    legal: jnp.ndarray  # (N, A) bool
-    terminal: jnp.ndarray  # (N,) bool
-    term_value: jnp.ndarray  # (N,) float32 — game winner at terminal nodes
-    num_nodes: jnp.ndarray  # () int32
+    # row read instead of A scattered gathers through `children`; values are
+    # from the CHILD's own perspective.
+    child_visit: jnp.ndarray  # (B, N, A) int32
+    child_value_sum: jnp.ndarray  # (B, N, A) float32
+    legal: jnp.ndarray  # (B, N, A) bool
+    terminal: jnp.ndarray  # (B, N) bool
+    term_value: jnp.ndarray  # (B, N) float32 — game winner at terminal nodes
+    num_nodes: jnp.ndarray  # (B,) int32
 
 
 class SearchResult(NamedTuple):
@@ -74,12 +74,12 @@ class SearchResult(NamedTuple):
 
 
 class _Selection(NamedTuple):
-    parent: jnp.ndarray  # () int32 — node to expand from (or terminal node)
-    action: jnp.ndarray  # () int32
-    path: jnp.ndarray  # (N,) int32 — visited nodes, -1 padded
-    path_action: jnp.ndarray  # (N,) int32 — action taken FROM path[i]
-    path_len: jnp.ndarray  # () int32
-    is_term_leaf: jnp.ndarray  # () bool — stopped at an existing terminal node
+    parent: jnp.ndarray  # (B,) int32 — node to expand from (or terminal node)
+    action: jnp.ndarray  # (B,) int32
+    path: jnp.ndarray  # (B, N) int32 — visited nodes, -1 padded
+    path_action: jnp.ndarray  # (B, N) int32 — action taken FROM path[i]
+    path_len: jnp.ndarray  # (B,) int32
+    is_term_leaf: jnp.ndarray  # (B,) bool — stopped at existing terminal
 
 
 def masked_probs(log_probs: jnp.ndarray, legal: jnp.ndarray) -> jnp.ndarray:
@@ -103,65 +103,106 @@ def add_dirichlet_noise(
     return jnp.where(legal, (1.0 - eps) * prior + eps * noise, 0.0)
 
 
-def _puct_scores(tree: Tree, node: jnp.ndarray, c_puct: float) -> jnp.ndarray:
-    """(A,) selection scores at ``node`` — canonical AlphaZero PUCT.
+def _node_mask(node: jnp.ndarray, n_slots: int) -> jnp.ndarray:
+    """(B, N) bool one-hot row mask for per-game node indices.
 
-    Row reads only (edge stats live at the parent) — no scattered gathers."""
-    c_visit = tree.child_visit[node]
-    c_sum = tree.child_value_sum[node]
+    TPU has no fast irregular gather: a vmapped ``arr[node]`` lowers to a
+    scattered HBM gather measured at ~30x the linear-read cost at B=4096
+    (results/mcts_dense_tree.md). Every per-game row read/write below is
+    therefore a DENSE one-hot contraction/blend — linear sweeps that run at
+    full VPU/MXU bandwidth and scale linearly in B."""
+    return jnp.arange(n_slots, dtype=node.dtype)[None, :] == node[:, None]
+
+
+def _take(arr: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Gather rows ``arr[b, node[b], ...]`` given the (B, N) mask."""
+    m = mask.reshape(mask.shape + (1,) * (arr.ndim - 2))
+    if arr.dtype == jnp.bool_:
+        return jnp.any(arr & m, axis=1)
+    return jnp.sum(jnp.where(m, arr, jnp.zeros((), arr.dtype)), axis=1)
+
+
+def _take_lane(row: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Select ``row[b, idx[b]]`` from (B, A) densely along the lane dim."""
+    mask = jnp.arange(row.shape[1], dtype=idx.dtype)[None, :] == idx[:, None]
+    if row.dtype == jnp.bool_:
+        return jnp.any(row & mask, axis=1)
+    return jnp.sum(jnp.where(mask, row, jnp.zeros((), row.dtype)), axis=1)
+
+
+def _blend_at(arr: jnp.ndarray, pos: jnp.ndarray, val: jnp.ndarray,
+              pred: jnp.ndarray) -> jnp.ndarray:
+    """Write ``val[b]`` at ``arr[b, pos[b]]`` where ``pred[b]`` (dense)."""
+    mask = _node_mask(pos, arr.shape[1]) & pred[:, None]
+    return jnp.where(mask, val[:, None], arr)
+
+
+def _puct_scores(tree: Tree, mask: jnp.ndarray, c_puct: float) -> jnp.ndarray:
+    """(B, A) selection scores at the masked node — canonical AlphaZero PUCT.
+
+    Row reads only (edge stats live at the parent)."""
+    c_visit = _take(tree.child_visit, mask)
+    c_sum = _take(tree.child_value_sum, mask)
     # edge values are stored from the child's own (opponent) perspective
     q = jnp.where(c_visit > 0, -c_sum / jnp.maximum(c_visit, 1), 0.0)
+    visit = _take(tree.visit, mask).astype(jnp.float32)
     u = (
         c_puct
-        * tree.prior[node]
-        * jnp.sqrt(jnp.maximum(tree.visit[node].astype(jnp.float32), 1.0))
+        * _take(tree.prior, mask)
+        * jnp.sqrt(jnp.maximum(visit, 1.0))[:, None]
         / (1.0 + c_visit.astype(jnp.float32))
     )
     scores = q + u
-    return jnp.where(tree.legal[node], scores, -jnp.inf)
+    return jnp.where(_take(tree.legal, mask), scores, -jnp.inf)
 
 
 def _select(tree: Tree, c_puct: float) -> _Selection:
-    """Walk from the root via PUCT until an unexpanded edge or terminal node."""
-    n_slots = tree.visit.shape[0]
-    path0 = jnp.full((n_slots,), -1, jnp.int32)
-    path0 = path0.at[0].set(0)
-    pact0 = jnp.full((n_slots,), -1, jnp.int32)
+    """Walk every game from its root via PUCT until an unexpanded edge or a
+    terminal node, in lockstep (the loop runs max-depth-over-batch times)."""
+    B, n_slots = tree.visit.shape
+    path0 = jnp.full((B, n_slots), -1, jnp.int32).at[:, 0].set(0)
+    pact0 = jnp.full((B, n_slots), -1, jnp.int32)
 
     def cond(carry):
         node, action, path, pact, depth, stop_term = carry
-        return ~stop_term & (action == NO_CHILD)
+        return jnp.any(~stop_term & (action == NO_CHILD))
 
     def body(carry):
-        node, _, path, pact, depth, _ = carry
-        scores = _puct_scores(tree, node, c_puct)
-        act = jnp.argmax(scores).astype(jnp.int32)
-        child = tree.children[node, act]
-        descend = child != NO_CHILD
+        node, action, path, pact, depth, stop_term = carry
+        walking = ~stop_term & (action == NO_CHILD)
+        mask = _node_mask(node, n_slots)
+        scores = _puct_scores(tree, mask, c_puct)
+        act = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        child = _take_lane(_take(tree.children, mask), act)
+        descend = walking & (child != NO_CHILD)
         # the edge taken from this node (recorded for per-edge backup; the
         # final unexpanded edge is recorded by the caller after expansion)
-        pact = jnp.where(descend, pact.at[depth].set(act), pact)
+        pact = _blend_at(pact, depth, act, descend)
         nxt = jnp.where(descend, child, node)
         depth2 = depth + descend.astype(jnp.int32)
-        path = jnp.where(descend, path.at[depth2].set(nxt), path)
-        stop_term = descend & tree.terminal[nxt]
+        path = _blend_at(path, depth2, nxt, descend)
+        term_nxt = _take(tree.terminal, _node_mask(nxt, n_slots))
+        stop_term = jnp.where(walking, descend & term_nxt, stop_term)
         # when we descend into an existing non-terminal child, continue
         # (action reset to NO_CHILD); otherwise we found the edge to expand
-        action_out = jnp.where(descend, NO_CHILD, act)
-        return nxt, action_out, path, pact, depth2, stop_term
+        action = jnp.where(walking, jnp.where(descend, NO_CHILD, act), action)
+        return nxt, action, path, pact, depth2, stop_term
 
+    node0 = jnp.zeros((B,), jnp.int32)
     node, action, path, pact, depth, stop_term = jax.lax.while_loop(
         cond,
         body,
-        (jnp.int32(0), NO_CHILD, path0, pact0, jnp.int32(0), tree.terminal[0]),
+        (node0, jnp.full((B,), NO_CHILD), path0, pact0,
+         jnp.zeros((B,), jnp.int32), tree.terminal[:, 0]),
     )
+    is_term = stop_term | (action == NO_CHILD)
     return _Selection(
         parent=node,
-        action=jnp.where(stop_term | (action == NO_CHILD), jnp.int32(0), action),
+        action=jnp.where(is_term, jnp.int32(0), action),
         path=path,
         path_action=pact,
         path_len=depth + 1,
-        is_term_leaf=stop_term | (action == NO_CHILD),
+        is_term_leaf=is_term,
     )
 
 
@@ -177,16 +218,34 @@ def _expand_and_backup(
     nn_value: jnp.ndarray,
 ) -> Tree:
     """Write the new leaf (unless the walk stopped on an existing terminal
-    node) and back up its value with alternating signs along the path."""
-    new_idx = tree.num_nodes
+    node) and back up its value with alternating signs along the path.
+
+    All writes are dense one-hot blends; the per-edge backup is a one-hot
+    outer product (``bpn,bpa->bna``) that rides the MXU instead of a
+    two-index scatter."""
+    B, n_slots = tree.visit.shape
+    A = tree.prior.shape[-1]
+    new_idx = tree.num_nodes  # (B,)
     expand = ~sel.is_term_leaf
 
+    m_new = _node_mask(new_idx, n_slots) & expand[:, None]  # (B, N)
+
     def wr(arr, value):
-        return jnp.where(expand, arr.at[new_idx].set(value), arr)
+        m = m_new.reshape(m_new.shape + (1,) * (arr.ndim - 2))
+        v = value.reshape(value.shape[:1] + (1,) + value.shape[1:])
+        return jnp.where(m, v, arr)
 
     leaf_value = jnp.where(child_terminal, child_winner.astype(jnp.float32), nn_value)
-    leaf_value = jnp.where(sel.is_term_leaf, tree.term_value[sel.parent], leaf_value)
+    leaf_value = jnp.where(
+        sel.is_term_leaf,
+        _take(tree.term_value, _node_mask(sel.parent, n_slots)),
+        leaf_value,
+    )
 
+    m_edge = (
+        (_node_mask(sel.parent, n_slots) & expand[:, None])[:, :, None]
+        & _node_mask(sel.action, A)[:, None, :]
+    )  # (B, N, A) — the parent->new-leaf edge
     tree = tree.replace(
         board_me=wr(tree.board_me, child_me),
         board_opp=wr(tree.board_opp, child_opp),
@@ -194,43 +253,43 @@ def _expand_and_backup(
         legal=wr(tree.legal, child_legal),
         terminal=wr(tree.terminal, child_terminal),
         term_value=wr(tree.term_value, child_winner.astype(jnp.float32)),
-        children=jnp.where(
-            expand,
-            tree.children.at[sel.parent, sel.action].set(new_idx),
-            tree.children,
-        ),
+        children=jnp.where(m_edge, new_idx[:, None, None], tree.children),
         num_nodes=tree.num_nodes + expand.astype(jnp.int32),
     )
 
     # Full backup path: selection path plus the new leaf when expanding.
-    path = jnp.where(expand, sel.path.at[sel.path_len].set(new_idx), sel.path)
-    pact = jnp.where(
-        expand, sel.path_action.at[sel.path_len - 1].set(sel.action),
-        sel.path_action,
-    )
+    path = _blend_at(sel.path, sel.path_len, new_idx, expand)
+    pact = _blend_at(sel.path_action, sel.path_len - 1, sel.action, expand)
     path_len = sel.path_len + expand.astype(jnp.int32)
 
-    idx = jnp.arange(path.shape[0], dtype=jnp.int32)
-    on_path = idx < path_len
+    idx = jnp.arange(n_slots, dtype=jnp.int32)[None, :]  # path positions
+    on_path = idx < path_len[:, None]
     # leaf sits at depth path_len-1; value alternates sign walking up
-    parity = (path_len - 1 - idx) % 2
-    signed = jnp.where(parity == 0, leaf_value, -leaf_value)
+    parity = (path_len[:, None] - 1 - idx) % 2
+    signed = jnp.where(on_path,
+                       jnp.where(parity == 0, leaf_value[:, None],
+                                 -leaf_value[:, None]), 0.0)
     safe = jnp.where(on_path, path, 0)
-    visit = tree.visit.at[safe].add(on_path.astype(jnp.int32))
-    value_sum = tree.value_sum.at[safe].add(jnp.where(on_path, signed, 0.0))
+    # (B, P, N): position p holds the one-hot of the node at that depth
+    node_oh = (safe[:, :, None] == idx[:, None, :]) & on_path[:, :, None]
+    node_f = node_oh.astype(jnp.float32)
+    visit = tree.visit + node_oh.astype(jnp.int32).sum(axis=1)
+    value_sum = tree.value_sum + jnp.einsum("bpn,bp->bn", node_f, signed)
     # per-edge stats: edge (path[i], pact[i]) leads to path[i+1]; it stores
     # the value from the CHILD's perspective (signed at depth i+1)
-    on_edge = idx < (path_len - 1)
-    e_node = jnp.where(on_edge, path, 0)
-    e_act = jnp.where(on_edge, pact, 0)
-    child_signed = jnp.where((path_len - 2 - idx) % 2 == 0, leaf_value,
-                             -leaf_value)
-    child_visit = tree.child_visit.at[e_node, e_act].add(
-        on_edge.astype(jnp.int32)
-    )
-    child_value_sum = tree.child_value_sum.at[e_node, e_act].add(
-        jnp.where(on_edge, child_signed, 0.0)
-    )
+    on_edge = idx < (path_len - 1)[:, None]
+    child_signed = jnp.where(
+        on_edge,
+        jnp.where((path_len[:, None] - 2 - idx) % 2 == 0, leaf_value[:, None],
+                  -leaf_value[:, None]), 0.0)
+    e_node_f = (node_oh & on_edge[:, :, None]).astype(jnp.float32)
+    act_safe = jnp.where(on_edge, pact, 0)
+    act_oh = ((act_safe[:, :, None] == jnp.arange(A)[None, None, :])
+              & on_edge[:, :, None]).astype(jnp.float32)
+    child_visit = tree.child_visit + jnp.einsum(
+        "bpn,bpa->bna", e_node_f, act_oh).astype(jnp.int32)
+    child_value_sum = tree.child_value_sum + jnp.einsum(
+        "bpn,bpa->bna", e_node_f * child_signed[:, :, None], act_oh)
     return tree.replace(
         visit=visit,
         value_sum=value_sum,
@@ -240,6 +299,7 @@ def _expand_and_backup(
 
 
 def _init_tree(
+    B: int,
     n_slots: int,
     num_actions: int,
     me: jnp.ndarray,
@@ -250,21 +310,23 @@ def _init_tree(
     winner: jnp.ndarray,
     value: jnp.ndarray,
 ) -> Tree:
+    """Batched node pools; root data written at slot 0 (static index)."""
     tree = Tree(
-        board_me=jnp.zeros((n_slots, 2), jnp.uint32).at[0].set(me),
-        board_opp=jnp.zeros((n_slots, 2), jnp.uint32).at[0].set(opp),
-        visit=jnp.zeros((n_slots,), jnp.int32).at[0].set(1),
-        value_sum=jnp.zeros((n_slots,), jnp.float32).at[0].set(value),
-        prior=jnp.zeros((n_slots, num_actions), jnp.float32).at[0].set(prior),
-        children=jnp.full((n_slots, num_actions), NO_CHILD),
-        child_visit=jnp.zeros((n_slots, num_actions), jnp.int32),
-        child_value_sum=jnp.zeros((n_slots, num_actions), jnp.float32),
-        legal=jnp.zeros((n_slots, num_actions), jnp.bool_).at[0].set(legal),
-        terminal=jnp.zeros((n_slots,), jnp.bool_).at[0].set(terminal),
-        term_value=jnp.zeros((n_slots,), jnp.float32)
-        .at[0]
-        .set(winner.astype(jnp.float32)),
-        num_nodes=jnp.int32(1),
+        board_me=jnp.zeros((B, n_slots, 2), jnp.uint32).at[:, 0].set(me),
+        board_opp=jnp.zeros((B, n_slots, 2), jnp.uint32).at[:, 0].set(opp),
+        visit=jnp.zeros((B, n_slots), jnp.int32).at[:, 0].set(1),
+        value_sum=jnp.zeros((B, n_slots), jnp.float32).at[:, 0].set(value),
+        prior=jnp.zeros((B, n_slots, num_actions), jnp.float32)
+        .at[:, 0].set(prior),
+        children=jnp.full((B, n_slots, num_actions), NO_CHILD),
+        child_visit=jnp.zeros((B, n_slots, num_actions), jnp.int32),
+        child_value_sum=jnp.zeros((B, n_slots, num_actions), jnp.float32),
+        legal=jnp.zeros((B, n_slots, num_actions), jnp.bool_)
+        .at[:, 0].set(legal),
+        terminal=jnp.zeros((B, n_slots), jnp.bool_).at[:, 0].set(terminal),
+        term_value=jnp.zeros((B, n_slots), jnp.float32)
+        .at[:, 0].set(winner.astype(jnp.float32)),
+        num_nodes=jnp.ones((B,), jnp.int32),
     )
     return tree
 
@@ -301,25 +363,25 @@ def search(
         )
     root_value0 = jnp.where(term0, win0.astype(jnp.float32), v0[..., 0])
 
-    tree = jax.vmap(lambda *a: _init_tree(n_slots, num_actions, *a))(
+    tree = _init_tree(
+        B, n_slots, num_actions,
         boards.me, boards.opp, prior0, legal0, term0, win0, root_value0
     )
 
     def sim_body(_, carry):
         tree, rng = carry
-        sel = jax.vmap(lambda t: _select(t, c_puct))(tree)
+        sel = _select(tree, c_puct)
 
+        m_parent = _node_mask(sel.parent, n_slots)
         parent_board = Board(
-            me=jax.vmap(lambda t, p: t.board_me[p])(tree, sel.parent),
-            opp=jax.vmap(lambda t, p: t.board_opp[p])(tree, sel.parent),
+            me=_take(tree.board_me, m_parent),
+            opp=_take(tree.board_opp, m_parent),
             move_count=jnp.zeros((B,), jnp.int32),
             passed=jnp.zeros((B,), jnp.bool_),
         )
         # pass-legality at the parent is already cached in the tree, so step
         # can skip its legal-move flood entirely
-        parent_pass_legal = jax.vmap(lambda t, p: t.legal[p, engine.pass_action])(
-            tree, sel.parent
-        )
+        parent_pass_legal = _take(tree.legal, m_parent)[:, engine.pass_action]
         child_board, _ = engine.step(
             parent_board, sel.action, pass_legal=parent_pass_legal
         )
@@ -329,7 +391,7 @@ def search(
         log_p, v = apply_fn(feats)
         child_prior = masked_probs(log_p, child_legal)
 
-        tree = jax.vmap(_expand_and_backup)(
+        tree = _expand_and_backup(
             tree,
             sel,
             child_board.me,
@@ -344,17 +406,14 @@ def search(
 
     tree, _ = jax.lax.fori_loop(0, num_simulations, sim_body, (tree, rng))
 
-    def extract(t: Tree):
-        counts = t.child_visit[0].astype(jnp.float32)
-        q = jnp.where(
-            t.child_visit[0] > 0,
-            -t.child_value_sum[0] / jnp.maximum(t.child_visit[0], 1),
-            0.0,
-        )
-        root_val = t.value_sum[0] / jnp.maximum(t.visit[0], 1)
-        return counts, root_val, q
-
-    counts, root_value, q_values = jax.vmap(extract)(tree)
+    root_cv = tree.child_visit[:, 0]
+    counts = root_cv.astype(jnp.float32)
+    q_values = jnp.where(
+        root_cv > 0,
+        -tree.child_value_sum[:, 0] / jnp.maximum(root_cv, 1),
+        0.0,
+    )
+    root_value = tree.value_sum[:, 0] / jnp.maximum(tree.visit[:, 0], 1)
     return SearchResult(
         visit_counts=counts,
         root_value=root_value,
