@@ -373,8 +373,16 @@ class EdaxPlayer(Player):
         me_bits = (words[:, None] >> shifts) & np.uint64(1)
         opp_bits = (words_o[:, None] >> shifts) & np.uint64(1)
 
+        pass_action = size * size
         actions = np.zeros((B,), np.int32)
         for i in range(B):
+            # pass-only positions (including finished games, whose only
+            # "legal" action is pass) need no engine round-trip — in the
+            # lockstep arena this skips roughly half the subprocess queries
+            # and all queries for games that already ended
+            if not legal[i, :pass_action].any():
+                actions[i] = pass_action
+                continue
             mover_black = int(move_count[i]) % 2 == 0
             me_ch, opp_ch = ("X", "O") if mover_black else ("O", "X")
             chars = []

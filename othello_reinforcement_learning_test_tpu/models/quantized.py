@@ -71,8 +71,10 @@ def quantize_activations(h: jnp.ndarray):
     return q, s
 
 
-# 3x3 neighborhood offsets, row-major like the HWIO kernel layout
-_OFFSETS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+# 3x3 neighborhood offsets — shared with the Pallas kernels so the tap
+# ordering in the (L, C, 9C) weight layout can never diverge between the
+# XLA baseline and the fused trunks
+from .pallas_resnet import _OFFSETS  # noqa: E402
 
 
 def _int8_conv3x3(h: jnp.ndarray, w_cols: jnp.ndarray, scale: jnp.ndarray,

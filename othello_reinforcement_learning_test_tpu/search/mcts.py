@@ -274,7 +274,9 @@ def _expand_and_backup(
     node_oh = (safe[:, :, None] == idx[:, None, :]) & on_path[:, :, None]
     node_f = node_oh.astype(jnp.float32)
     visit = tree.visit + node_oh.astype(jnp.int32).sum(axis=1)
-    value_sum = tree.value_sum + jnp.einsum("bpn,bp->bn", node_f, signed)
+    value_sum = tree.value_sum + jnp.einsum(
+        "bpn,bp->bn", node_f, signed,
+        precision=jax.lax.Precision.HIGHEST)
     # per-edge stats: edge (path[i], pact[i]) leads to path[i+1]; it stores
     # the value from the CHILD's perspective (signed at depth i+1)
     on_edge = idx < (path_len - 1)[:, None]
@@ -286,10 +288,14 @@ def _expand_and_backup(
     act_safe = jnp.where(on_edge, pact, 0)
     act_oh = ((act_safe[:, :, None] == jnp.arange(A)[None, None, :])
               & on_edge[:, :, None]).astype(jnp.float32)
+    # 0/1 products are exact at any matmul precision; the VALUE einsums
+    # need HIGHEST or the MXU truncates f32 leaf values to bf16 on TPU
+    # (the scatter-adds they replaced were exact f32)
     child_visit = tree.child_visit + jnp.einsum(
         "bpn,bpa->bna", e_node_f, act_oh).astype(jnp.int32)
     child_value_sum = tree.child_value_sum + jnp.einsum(
-        "bpn,bpa->bna", e_node_f * child_signed[:, :, None], act_oh)
+        "bpn,bpa->bna", e_node_f * child_signed[:, :, None], act_oh,
+        precision=jax.lax.Precision.HIGHEST)
     return tree.replace(
         visit=visit,
         value_sum=value_sum,

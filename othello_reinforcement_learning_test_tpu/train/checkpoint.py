@@ -136,12 +136,10 @@ def load_train_state(path: str, train_state_template: Any) -> Any:
     meta = load_meta(path)
     if meta.get("format", 1) < 2:
         return load(path, train_state_template)
-    # restore only the train_state subtree of the composite; orbax supports
-    # partial restore via a template containing just the wanted keys on
-    # PyTreeCheckpointer, but StandardCheckpointer wants the full structure —
-    # read the full tree with lazy buffer arrays is not available here, so
-    # restore the full composite with a minimal buffer template derived from
-    # the recorded capacity.
+    # partial restore: only the train_state subtree is deserialized — the
+    # replay buffer (potentially tens of MB) and RNG leaves are marked
+    # ``ocp.PLACEHOLDER`` so orbax skips reading them (inference consumers
+    # like MCTSPlayer.from_checkpoint open many checkpoints in a sweep)
     from . import buffer as buffer_lib
 
     cap = int(meta.get("buffer_capacity", 0))
@@ -156,8 +154,24 @@ def load_train_state(path: str, train_state_template: Any) -> Any:
         buf_t = buffer_lib.create_prioritized(cap, num_actions)
     else:
         buf_t = buffer_lib.create(cap, num_actions)
-    restored = load_full(path, train_state_template, buf_t, jax.random.PRNGKey(0))
-    return restored["train_state"]
+    template = {
+        "train_state": train_state_template,
+        "buffer": jax.tree.map(lambda _: ocp.PLACEHOLDER, buf_t),
+        "rng": ocp.PLACEHOLDER,
+    }
+    if meta.get("has_best"):
+        template["best"] = jax.tree.map(
+            lambda _: ocp.PLACEHOLDER,
+            {"params": train_state_template.params,
+             "batch_stats": train_state_template.batch_stats},
+        )
+    restored = ocp.PyTreeCheckpointer().restore(
+        os.path.abspath(path), item=template
+    )
+    state = restored["train_state"]
+    return jax.tree.unflatten(
+        jax.tree.structure(train_state_template), jax.tree.leaves(state)
+    )
 
 
 def load_config(path: str) -> Optional[Dict]:

@@ -280,6 +280,11 @@ class AlphaZeroTrainer:
             self.augment = False
         self.prioritized = bool(tc.get("prioritized_replay", False))
         gate = tc.get("gating") or {}
+        if not isinstance(gate, dict):
+            raise ValueError(
+                "training.gating must be a mapping, e.g. {enabled: true, "
+                f"games: 40, win_threshold: 0.55}}; got {gate!r}"
+            )
         self.gating_enabled = bool(gate.get("enabled", False))
         self.gating_games = int(gate.get("games", 40) or 40)
         self.gating_threshold = float(gate.get("win_threshold", 0.55))
@@ -309,6 +314,7 @@ class AlphaZeroTrainer:
         self.mesh = None
         self.process_count = jax.process_count()
         self.distributed = self.process_count > 1
+        self._warned_game_rounding = False
         if self.distributed:
             # multi-host SPMD: one dp mesh over every device of every
             # process (jax.distributed must already be initialized — cli.py
@@ -404,6 +410,7 @@ class AlphaZeroTrainer:
         format-1 checkpoints resume with an empty buffer and the seed RNG
         (a warning says so)."""
         meta = ckpt_lib.load_meta(path)
+        restored_best = False
         if meta.get("format", 1) >= 2:
             if (int(meta.get("buffer_capacity", -1)) != self.buffer.capacity
                     or meta.get("buffer_class") != type(self.buffer).__name__):
@@ -424,14 +431,27 @@ class AlphaZeroTrainer:
                 self.buffer = restored["buffer"]
                 self.rng = restored["rng"]
                 if "best" in restored:
-                    self.best_variables = restored["best"]
-                    self.gating_enabled = True
+                    if self.gating_enabled:
+                        self.best_variables = restored["best"]
+                        restored_best = True
+                    else:
+                        # the config's gating setting wins over the
+                        # checkpoint's — don't silently re-enable
+                        self.log(
+                            "note: checkpoint has a gating best-network but "
+                            "training.gating.enabled is false; ignoring it"
+                        )
         else:
             self.state = ckpt_lib.load(path, self.state)
             self.log(
                 "warning: format-1 checkpoint (no buffer/RNG state); "
                 "resuming with an empty buffer"
             )
+        if self.gating_enabled and not restored_best:
+            # never leave gated self-play pointing at the pre-resume
+            # (random-init) network: the restored candidate is the best
+            # approximation of "best so far" we have
+            self.best_variables = self.variables()
         self.log(f"resumed from {path} at iteration {int(self.state.iteration)}")
 
     # -- main loop ---------------------------------------------------------
@@ -449,7 +469,20 @@ class AlphaZeroTrainer:
             # path existed but nothing called it)
             from ..parallel.mesh import fold_in_process, global_from_local_leading
 
-            local_games = max(num_games // self.process_count, 1)
+            # even per-process share, rounded UP to a multiple of the local
+            # device count so the leading axis shards cleanly (a floor split
+            # silently dropped the remainder — e.g. 100 games over 3 hosts
+            # played 99)
+            ldc = max(jax.local_device_count(), 1)
+            per = -(-num_games // self.process_count)  # ceil
+            local_games = -(-per // ldc) * ldc
+            total = local_games * self.process_count
+            if total != num_games and not self._warned_game_rounding:
+                self._warned_game_rounding = True
+                self.log(
+                    f"distributed: rounding {num_games} games/iter up to "
+                    f"{total} ({local_games}/process) for even sharding"
+                )
             self.rng, sub = jax.random.split(self.rng)
             local_vars = jax.device_get(sp_variables)  # host copy, local jit
             traj_local = play_games(

@@ -126,6 +126,12 @@ def _validate(cfg: Dict) -> None:
     if not (0.0 < float(t["lr"])):
         raise ValueError("training.lr must be > 0")
     gating = t.get("gating") or {}
+    if not isinstance(gating, dict):
+        raise ValueError(
+            "training.gating must be a mapping, e.g. "
+            "{enabled: true, games: 40, win_threshold: 0.55}; "
+            f"got {t.get('gating')!r}"
+        )
     if gating.get("enabled"):
         if int(gating.get("games", 40)) <= 0:
             raise ValueError("training.gating.games must be positive")

@@ -131,3 +131,14 @@ def test_gating_config_validation(tmp_path):
     )
     with pytest.raises(ValueError):
         load_config(str(bad))
+
+
+def test_scalar_gating_config_raises_clear_error(tmp_path):
+    """`training: {gating: true}` (natural shorthand) must produce a clear
+    ValueError, not an AttributeError deep in validation (round-2 review)."""
+    import yaml
+
+    path = tmp_path / "bad.yaml"
+    path.write_text(yaml.safe_dump({"training": {"gating": True}}))
+    with pytest.raises(ValueError, match="training.gating must be a mapping"):
+        load_config(str(path))

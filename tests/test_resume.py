@@ -153,3 +153,63 @@ def test_mcts_player_loads_full_checkpoint(tmp_path):
     actions = player.act(jax.random.PRNGKey(0), boards)
     legal = player.engine.legal_actions(boards)
     assert all(bool(legal[i, int(actions[i])]) for i in range(2))
+
+
+def test_resume_with_gating_refreshes_best(tmp_path):
+    """Resuming a GATED run from a checkpoint saved WITHOUT gating must not
+    leave gated self-play on the random-init network (round-2 review): the
+    restored candidate becomes the provisional best."""
+    cfg = tiny_config(tmp_path, "nogate")
+    tr = AlphaZeroTrainer(cfg, log_cb=None)
+    tr.train()
+    ckpt = os.path.join(cfg["paths"]["checkpoint_dir"], "final_model")
+    tr.close()
+
+    cfg2 = tiny_config(
+        tmp_path, "gated",
+        gating={"enabled": True, "games": 2, "win_threshold": 0.55,
+                "interval": 2},
+    )
+    tr2 = AlphaZeroTrainer(cfg2, log_cb=None)
+    init_best = jax.device_get(tr2.best_variables)
+    tr2.load_checkpoint(ckpt)
+    assert leaves_equal(tr2.best_variables, tr2.variables())
+    assert not leaves_equal(tr2.best_variables, init_best)
+    tr2.close()
+
+
+def test_resume_respects_disabled_gating(tmp_path):
+    """A checkpoint carrying a gating 'best' network must not re-enable
+    gating when the config disabled it (config wins)."""
+    cfg = tiny_config(
+        tmp_path, "gatedsrc",
+        gating={"enabled": True, "games": 2, "win_threshold": 0.55,
+                "interval": 2},
+    )
+    tr = AlphaZeroTrainer(cfg, log_cb=None)
+    tr.train()
+    ckpt = os.path.join(cfg["paths"]["checkpoint_dir"], "final_model")
+    tr.close()
+
+    cfg2 = tiny_config(tmp_path, "ungated")  # gating off
+    tr2 = AlphaZeroTrainer(cfg2, log_cb=None)
+    tr2.load_checkpoint(ckpt)
+    assert not tr2.gating_enabled
+    assert tr2.best_variables is None
+    tr2.close()
+
+
+def test_load_train_state_partial_matches_full(tmp_path):
+    """The PLACEHOLDER-based partial restore must return the same TrainState
+    as the full composite restore (and not touch the buffer bytes)."""
+    cfg = tiny_config(tmp_path, "partial")
+    tr = AlphaZeroTrainer(cfg, log_cb=None)
+    tr.train()
+    ckpt = os.path.join(cfg["paths"]["checkpoint_dir"], "final_model")
+
+    fresh = AlphaZeroTrainer(tiny_config(tmp_path, "tmpl"), log_cb=None)
+    partial = ckpt_lib.load_train_state(ckpt, fresh.state)
+    full = ckpt_lib.load_full(ckpt, fresh.state, fresh.buffer, fresh.rng)
+    assert leaves_equal(partial, full["train_state"])
+    tr.close()
+    fresh.close()
