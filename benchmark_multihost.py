@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Multi-host weak-scaling benchmark (the BASELINE.json "near-linear
+multi-host scaling" methodology).
+
+Spawns N single-device processes joined via ``jax.distributed`` (the same
+bring-up ``cli.py train --coordinator`` uses on real pods), each playing a
+fixed per-process batch of MCTS self-play games sharded over the global dp
+mesh, and reports aggregate games/s plus weak-scaling efficiency
+``thpt(N) / (N * thpt(1))``.
+
+On this image the processes are CPU hosts on one machine, so the absolute
+numbers are bounded by host-core contention — the point here is the
+measurement *methodology* and that the distributed path stays functional;
+on a real TPU pod slice the same script measures ICI/DCN scaling (run it
+once per host with --worker args, or let it spawn locally under a
+multi-chip host).
+
+Output: one JSON line per N, then a summary JSON line
+``{"metric": "multihost_weak_scaling_efficiency", ...}``.
+"""
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def worker(pid: int, nprocs: int, port: int, outdir: str, games: int,
+           sims: int, blocks: int, filters: int) -> None:
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from othello_reinforcement_learning_test_tpu.parallel import (
+        fold_in_process,
+        initialize_distributed,
+        make_mesh,
+        to_global_replicated,
+    )
+
+    if nprocs > 1:
+        initialize_distributed(
+            coordinator_address=f"127.0.0.1:{port}",
+            num_processes=nprocs,
+            process_id=pid,
+        )
+    from othello_reinforcement_learning_test_tpu.models import (
+        OthelloResNet,
+        init_variables,
+    )
+    from othello_reinforcement_learning_test_tpu.ops.bitboard import get_engine
+    from othello_reinforcement_learning_test_tpu.train import play_games
+    from othello_reinforcement_learning_test_tpu.train.trainer import apply_eval
+
+    engine = get_engine(8, "reference")
+    model = OthelloResNet(num_blocks=blocks, num_filters=filters)
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    variables = to_global_replicated(variables, mesh)
+    total_games = games * nprocs  # weak scaling: fixed per-process load
+
+    def run(seed):
+        rng = fold_in_process(jax.random.PRNGKey(seed))
+        traj = play_games(
+            engine, apply_eval(model), variables, rng,
+            num_games=total_games, num_simulations=sims, mesh=mesh,
+        )
+        return int(jax.device_get(traj.num_moves.sum()))
+
+    run(0)  # compile + warmup
+    t0 = time.perf_counter()
+    moves = run(1)
+    dt = time.perf_counter() - t0
+    if pid == 0:
+        with open(os.path.join(outdir, f"n{nprocs}.json"), "w") as f:
+            json.dump({
+                "processes": nprocs,
+                "games": total_games,
+                "games_per_s": total_games / dt,
+                "env_steps_per_s": moves / dt,
+                "wall_s": dt,
+            }, f)
+
+
+def measure(nprocs: int, args, outdir: str) -> dict:
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             str(pid), str(nprocs), str(port), outdir,
+             str(args.games_per_process), str(args.simulations),
+             str(args.blocks), str(args.filters)],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for pid in range(nprocs)
+    ]
+    for p in procs:
+        if p.wait(timeout=args.timeout) != 0:
+            raise RuntimeError(f"worker failed (N={nprocs})")
+    with open(os.path.join(outdir, f"n{nprocs}.json")) as f:
+        return json.load(f)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--processes", type=int, nargs="+", default=[1, 2])
+    parser.add_argument("--games-per-process", type=int, default=32)
+    parser.add_argument("--simulations", type=int, default=8)
+    parser.add_argument("--blocks", type=int, default=2)
+    parser.add_argument("--filters", type=int, default=32)
+    parser.add_argument("--timeout", type=int, default=1200)
+    parser.add_argument("--worker", nargs=8, default=None,
+                        help="(internal) pid nprocs port outdir games sims "
+                             "blocks filters")
+    args = parser.parse_args()
+
+    if args.worker:
+        w = args.worker
+        worker(int(w[0]), int(w[1]), int(w[2]), w[3], int(w[4]), int(w[5]),
+               int(w[6]), int(w[7]))
+        return
+
+    results = {}
+    with tempfile.TemporaryDirectory() as outdir:
+        for n in args.processes:
+            results[n] = measure(n, args, outdir)
+            print(json.dumps(results[n]))
+
+    base = min(results)
+    base_thpt = results[base]["games_per_s"] / base
+    for n in sorted(results):
+        eff = results[n]["games_per_s"] / (n * base_thpt)
+        results[n]["efficiency_vs_linear"] = eff
+    top = max(results)
+    print(json.dumps({
+        "metric": "multihost_weak_scaling_efficiency",
+        "value": round(results[top]["efficiency_vs_linear"], 3),
+        "unit": f"fraction of linear at N={top}",
+        "per_n": {str(n): round(r["games_per_s"], 2)
+                  for n, r in results.items()},
+        "note": "CPU process groups on one machine; on a TPU pod the same "
+                "harness measures ICI/DCN scaling",
+    }))
+
+
+if __name__ == "__main__":
+    main()
