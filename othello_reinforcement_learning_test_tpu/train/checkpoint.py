@@ -13,6 +13,7 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 _CHECKPOINTER: Optional[ocp.StandardCheckpointer] = None
@@ -165,8 +166,27 @@ def load_train_state(path: str, train_state_template: Any) -> Any:
             {"params": train_state_template.params,
              "batch_stats": train_state_template.batch_stats},
         )
+
+    # explicit restore shardings from the TEMPLATE (not the checkpoint
+    # file) so checkpoints written on one device kind restore on another
+    # (e.g. a TPU training checkpoint opened by a CPU web server)
+    def _restore_arg(leaf):
+        if leaf is ocp.PLACEHOLDER:
+            return ocp.RestoreArgs()
+        arr = jnp.asarray(leaf)
+        return ocp.ArrayRestoreArgs(
+            sharding=jax.sharding.SingleDeviceSharding(
+                arr.devices().pop() if hasattr(arr, "devices")
+                else jax.devices()[0]
+            ),
+            global_shape=arr.shape,
+            dtype=arr.dtype,
+        )
+
+    restore_args = jax.tree.map(_restore_arg, template)
     restored = ocp.PyTreeCheckpointer().restore(
-        os.path.abspath(path), item=template
+        os.path.abspath(path),
+        args=ocp.args.PyTreeRestore(item=template, restore_args=restore_args),
     )
     state = restored["train_state"]
     return jax.tree.unflatten(
