@@ -105,6 +105,16 @@ def eval_command(args) -> None:
     _maybe_force_cpu(args.device)
     from .evaluation import GreedyPlayer, MCTSPlayer, RandomPlayer, evaluate_player
 
+    if args.simulations is None:
+        # honor mcts.num_simulations_eval from the checkpoint's config
+        # sidecar (a key the reference defines but never reads - SURVEY section 2)
+        from .train.checkpoint import load_config as _ckpt_config
+
+        cfg = _ckpt_config(args.checkpoint) or {}
+        args.simulations = int(
+            cfg.get("mcts", {}).get("num_simulations_eval") or 50
+        )
+
     print("=" * 70)
     print("Model Evaluation")
     print("=" * 70)
@@ -238,7 +248,8 @@ def build_parser() -> argparse.ArgumentParser:
     p_eval = sub.add_parser("eval", help="Evaluate the model")
     p_eval.add_argument("--checkpoint", type=str, required=True)
     p_eval.add_argument("--games", type=int, default=20)
-    p_eval.add_argument("--simulations", type=int, default=50)
+    p_eval.add_argument("--simulations", type=int, default=None,
+                    help="MCTS simulations per move (default: the checkpoint config mcts.num_simulations_eval, else 50)")
     p_eval.add_argument("--seed", type=int, default=42)
     p_eval.add_argument("--device", choices=["auto", "cpu"], default="auto")
     p_eval.add_argument("--verbose", action="store_true")

@@ -40,3 +40,11 @@ def test_play_flags():
 def test_unknown_command_rejected():
     with pytest.raises(SystemExit):
         build_parser().parse_args(["frobnicate"])
+
+
+def test_eval_simulations_default_from_sidecar():
+    """--simulations defaults to None so eval_command can honor the
+    checkpoint config's mcts.num_simulations_eval (a key the reference
+    defines but never reads)."""
+    args = build_parser().parse_args(["eval", "--checkpoint", "x"])
+    assert args.simulations is None
