@@ -122,11 +122,12 @@ def test_load_model_dialog_cancelled(gui):
     assert not app.gm.state_dict()["model_loaded"]
 
 
-def test_model_load_ai_move_and_hint(gui):
-    """Full AI path: load the committed test model, click, let the threaded
-    AI reply, then hint — all through the app layer."""
+def test_model_load_ai_move_and_hint(gui, test_checkpoint):
+    """Full AI path: load the tiny trained model (built on demand by the
+    session fixture), click, let the threaded AI reply, then hint — all
+    through the app layer."""
     app, _, _ = gui
-    app.load_model("data/models/test/final_model")
+    app.load_model(test_checkpoint)
     assert app.gm.state_dict()["model_loaded"]
     assert app.btn_ai.cget("state") == "normal"
     app.gm.set_simulations(10)  # keep the first CPU compile fast

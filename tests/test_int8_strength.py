@@ -20,16 +20,13 @@ from othello_reinforcement_learning_test_tpu.ops.bitboard import get_engine
 from othello_reinforcement_learning_test_tpu.train import checkpoint as ckpt_lib
 from othello_reinforcement_learning_test_tpu.train.trainer import apply_eval
 
-CKPT = "data/models/test/final_model"
-
-
 @pytest.fixture(scope="module")
-def setup():
+def setup(test_checkpoint):
     eng = get_engine(8, "reference")
-    bf16_player = MCTSPlayer.from_checkpoint(CKPT, engine=eng,
+    bf16_player = MCTSPlayer.from_checkpoint(test_checkpoint, engine=eng,
                                              num_simulations=10)
     model = bf16_player.model if hasattr(bf16_player, "model") else None
-    return eng, bf16_player, model
+    return eng, bf16_player, model, test_checkpoint
 
 
 def _random_positions(eng, rng, n=256, plies=12):
@@ -51,10 +48,10 @@ def _random_positions(eng, rng, n=256, plies=12):
 def test_int8_agrees_with_bf16_on_move_choice(setup):
     """Direct net outputs: the int8 policy's argmax matches bf16's on the
     overwhelming majority of diverse midgame positions."""
-    eng, bf16_player, _ = setup
+    eng, bf16_player, _, ckpt = setup
     from othello_reinforcement_learning_test_tpu.models import OthelloResNet
 
-    cfg = ckpt_lib.load_config(CKPT)["model"]
+    cfg = ckpt_lib.load_config(ckpt)["model"]
     model = OthelloResNet(num_blocks=cfg["num_blocks"],
                           num_filters=cfg["num_filters"],
                           board_size=cfg.get("board_size", 8))
@@ -77,10 +74,10 @@ def test_int8_agrees_with_bf16_on_move_choice(setup):
 def test_int8_mcts_holds_its_own_in_arena(setup):
     """Head-to-head: int8-inference MCTS vs bf16 MCTS over 16 randomized-
     opening games must not be one-sided (quantization preserves strength)."""
-    eng, bf16_player, _ = setup
+    eng, bf16_player, _, ckpt = setup
     from othello_reinforcement_learning_test_tpu.models import OthelloResNet
 
-    cfg = ckpt_lib.load_config(CKPT)["model"]
+    cfg = ckpt_lib.load_config(ckpt)["model"]
     model = OthelloResNet(num_blocks=cfg["num_blocks"],
                           num_filters=cfg["num_filters"],
                           board_size=cfg.get("board_size", 8))
