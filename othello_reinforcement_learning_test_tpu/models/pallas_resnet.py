@@ -147,10 +147,18 @@ def _trunk_kernel_wide(x_ref, w_ref, b_ref, out_ref, *, num_blocks: int,
 
 
 def _trunk_kernel_int8(x_ref, w_ref, s_ref, b_ref, out_ref, *,
-                       num_blocks: int, size: int):
+                       num_blocks: int, size: int, stage_bf16: bool = False):
     """Int8 trunk: w (L, C, 9C) int8 with per-output-channel scale s (L, C)
     shared across taps, so all nine shifted taps accumulate in one int32
-    sum with a single dequant (see models/quantized.py for the scheme)."""
+    sum with a single dequant (see models/quantized.py for the scheme).
+
+    ``stage_bf16`` converts the (M, 9C) int32 matmul output to bf16 before
+    the shifted accumulate: the kernel is VMEM-traffic-bound on exactly that
+    staging tensor (results/nn_inference_decomposition.md), so halving its
+    bytes targets the bound directly. Precision: |z| ≤ 9·127·127·C ≈ 1.9e7
+    fits bf16's exponent; its 8-bit mantissa gives ~0.4% relative error per
+    tap, under the ~0.8% already introduced by int8 quantization (taps sum
+    in f32)."""
     x = x_ref[:].astype(jnp.float32)
     Bblk, S, _, C = x.shape
 
@@ -163,9 +171,14 @@ def _trunk_kernel_int8(x_ref, w_ref, s_ref, b_ref, out_ref, *,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        acc = _shifted_accum(z, jnp.zeros((C,), jnp.int32), Bblk, S, C,
-                             acc_dtype=jnp.int32)
-        return acc.astype(jnp.float32) * (s_act * s_ref[layer]) \
+        if stage_bf16:
+            acc = _shifted_accum(z.astype(jnp.bfloat16),
+                                 jnp.zeros((C,), jnp.float32), Bblk, S, C,
+                                 acc_dtype=jnp.float32)
+        else:
+            acc = _shifted_accum(z, jnp.zeros((C,), jnp.int32), Bblk, S, C,
+                                 acc_dtype=jnp.int32).astype(jnp.float32)
+        return acc * (s_act * s_ref[layer]) \
             + b_ref[layer][None, None, None, :]
 
     for i in range(num_blocks):
@@ -370,6 +383,8 @@ def fused_trunk_int8(
     scratch = ()
     if kernel == "out_shift":
         kfn = _trunk_kernel_int8
+    elif kernel == "out_shift_bf16":
+        kfn = functools.partial(_trunk_kernel_int8, stage_bf16=True)
     elif kernel == "m9":
         kfn = _trunk_kernel_int8_m9
         # (L, C, 9C) -> (L, 9, C, C): per-tap square matrices
@@ -432,8 +447,8 @@ class FusedInference:
     """Eval-mode forward with the Pallas trunk: stem and heads in XLA,
     residual trunk fused. Drop-in for ``apply_fn(variables, x)``."""
 
-    VARIANTS = ("matmul9", "wide", "int8", "int8_m9", "int8_patch",
-                "int8_flat", "int8_xla")
+    VARIANTS = ("matmul9", "wide", "int8", "int8_bf16", "int8_m9",
+                "int8_patch", "int8_flat", "int8_xla")
 
     def __init__(self, model: OthelloResNet, interpret: bool = False,
                  block_games: int = 0, variant: str = "matmul9"):
@@ -445,8 +460,8 @@ class FusedInference:
         # measured on TPU v5e at B=4096 (trunk-only, 10x128): out_shift int8
         # bg=16 is the sweet spot (10.1 ms vs 11.2 at bg=8, 11.7 at bg=32)
         self.block_games = block_games or {
-            "matmul9": 32, "wide": 16, "int8": 16, "int8_m9": 32,
-            "int8_patch": 32, "int8_flat": 32, "int8_xla": 0,
+            "matmul9": 32, "wide": 16, "int8": 16, "int8_bf16": 16,
+            "int8_m9": 32, "int8_patch": 32, "int8_flat": 32, "int8_xla": 0,
         }[variant]
         self.variant = variant
 
@@ -485,7 +500,8 @@ class FusedInference:
             qt = quantize_trunk(variables, model.num_blocks)
             if self.variant.startswith("int8_") and self.variant != "int8_xla" \
                     or self.variant == "int8":
-                kernel = {"int8": "out_shift", "int8_m9": "m9",
+                kernel = {"int8": "out_shift",
+                          "int8_bf16": "out_shift_bf16", "int8_m9": "m9",
                           "int8_patch": "patch",
                           "int8_flat": "flat"}[self.variant]
                 h = fused_trunk_int8(

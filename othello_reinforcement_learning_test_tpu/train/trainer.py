@@ -364,6 +364,23 @@ class AlphaZeroTrainer:
                 self.buffer_capacity, self.engine.num_actions
             )
         self._apply_eval = apply_eval(self.model)
+        # optional fused-trunk inference for the self-play/gating hot path
+        # (system.self_play_net_variant; training fwd/bwd stays XLA bf16).
+        # One instance per trainer: play_games caches jit per apply_fn id.
+        variant = str(sc.get("self_play_net_variant") or "xla")
+        if variant != "xla":
+            from ..models.pallas_resnet import FusedInference
+
+            # Pallas kernels run natively on TPU only; elsewhere fall back
+            # to interpret mode (slow but correct — tests/debug).
+            interpret = (jax.devices()[0].platform != "tpu"
+                         and variant != "int8_xla")
+            self._apply_selfplay = FusedInference(
+                self.model, variant=variant, interpret=interpret
+            )
+            self.log(f"self-play inference: fused Pallas trunk ({variant})")
+        else:
+            self._apply_selfplay = self._apply_eval
         if self.distributed:
             # multi-controller rule: every input of a mesh-spanning jit must
             # be a global jax.Array — lift the (identical-per-process)
@@ -487,7 +504,7 @@ class AlphaZeroTrainer:
             local_vars = jax.device_get(sp_variables)  # host copy, local jit
             traj_local = play_games(
                 self.engine,
-                self._apply_eval,
+                self._apply_selfplay,
                 local_vars,
                 fold_in_process(sub),
                 num_games=local_games,
@@ -510,7 +527,7 @@ class AlphaZeroTrainer:
             chunks.append(
                 play_games(
                     self.engine,
-                    self._apply_eval,
+                    self._apply_selfplay,
                     sp_variables,
                     sub,
                     num_games=n,
@@ -537,11 +554,11 @@ class AlphaZeroTrainer:
         from ..evaluation.players import MCTSPlayer
 
         candidate = MCTSPlayer(
-            self.engine, self._apply_eval, self.variables(),
+            self.engine, self._apply_selfplay, self.variables(),
             num_simulations=self.gating_sims, c_puct=self.c_puct,
         )
         best = MCTSPlayer(
-            self.engine, self._apply_eval, self.best_variables,
+            self.engine, self._apply_selfplay, self.best_variables,
             num_simulations=self.gating_sims, c_puct=self.c_puct,
         )
         arena = Arena(self.engine)

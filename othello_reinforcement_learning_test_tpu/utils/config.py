@@ -78,6 +78,11 @@ DEFAULTS: Dict[str, Dict[str, Any]] = {
         # multi-chip data parallelism: number of devices for the dp mesh
         # (None = single device; the games/batch axes shard when set)
         "mesh_devices": None,
+        # self-play/gating inference path: "xla" (default) or a fused Pallas
+        # trunk variant ("int8" measures +6% games/s at B=1024 and +35% at
+        # B=4096 on v5e — results/nn_inference_decomposition.md). TPU only
+        # except "int8_xla". Training forward/backward is unaffected.
+        "self_play_net_variant": "xla",
     },
 }
 

@@ -160,6 +160,26 @@ class TestEndToEnd:
         )
         assert side["model"]["num_blocks"] == 1
 
+    def test_fused_self_play_variant(self, tmp_path):
+        """system.self_play_net_variant routes self-play inference through
+        the fused/quantized path; one full iteration trains and the metrics
+        contract is unchanged (int8_xla = the backend-agnostic variant)."""
+        cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                       "configs", "test.yaml"))
+        cfg["training"]["self_play_episodes_per_iter"] = 2
+        cfg["training"]["num_iterations"] = 1
+        cfg["model"]["num_blocks"] = 1
+        cfg["model"]["num_filters"] = 8
+        cfg["mcts"]["num_simulations"] = 4
+        cfg["system"]["self_play_net_variant"] = "int8_xla"
+        cfg["paths"]["checkpoint_dir"] = str(tmp_path / "models")
+        cfg["paths"]["log_dir"] = str(tmp_path / "logs")
+
+        trainer = AlphaZeroTrainer(cfg, log_cb=None)
+        assert trainer._apply_selfplay is not trainer._apply_eval
+        metrics = trainer.train()
+        assert metrics["Loss/train"] > 0
+
     def test_train_step_decreases_loss_on_fixed_batch(self):
         """Optimization sanity: repeated steps on one buffer lower the loss."""
         from othello_reinforcement_learning_test_tpu.train.trainer import (
