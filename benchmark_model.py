@@ -55,6 +55,36 @@ def main() -> None:
     dev = jax.devices()[0]
     print(f"device: {dev}")
 
+    # Fixed per-call overhead (dispatch + D2H read — ~24 ms over the axon
+    # tunnel, ~50 us locally): measured with a null program of the same
+    # call structure and subtracted from every row, otherwise a 16-chain
+    # call at B=4096 reads ~1.5 ms/forward too slow. Reported alongside.
+    @jax.jit
+    def _null(x):
+        def body(c, _):
+            s = (x + c).sum()
+            return s * 1e-9, s
+        _, outs = jax.lax.scan(body, jnp.float32(0), None, length=args.chain)
+        return outs.sum()
+
+    xn = jnp.zeros((8,), jnp.float32)
+    float(_null(xn))
+    t0 = time.perf_counter()
+    null_reps = max(args.repeats, 5)
+    for _ in range(null_reps):
+        float(_null(xn))
+    null_call = (time.perf_counter() - t0) / null_reps
+    print(f"per-call dispatch overhead: {null_call * 1e3:.2f} ms "
+          f"(subtracted from each row)")
+
+    def report(b, dt_raw):
+        dt = max(dt_raw - null_call / args.chain, 1e-9)
+        print(
+            f"batch {b:5d}: {b / dt:12,.0f} boards/sec "
+            f"({dt * 1e3:7.2f} ms/batch on-device, "
+            f"{dt_raw * 1e3:7.2f} ms raw, x{args.chain} chained)"
+        )
+
     for dtype_name, dtype in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
         model = OthelloResNet(
             num_blocks=args.blocks, num_filters=args.filters, dtype=dtype
@@ -89,10 +119,7 @@ def main() -> None:
                 for _ in range(args.repeats):
                     float(fwd(variables, x))
                 dt = (time.perf_counter() - t0) / (args.repeats * chain)
-                print(
-                    f"batch {b:5d}: {b / dt:12,.0f} boards/sec "
-                    f"({dt * 1e3:7.2f} ms/batch, x{chain} chained)"
-                )
+                report(b, dt)
             except Exception as e:  # noqa: BLE001 — OOM etc (reference
                 # catches OOM the same way, benchmark_model.py:97-102)
                 print(f"batch {b:5d}: failed ({type(e).__name__}: {e})")
@@ -135,10 +162,7 @@ def main() -> None:
                     for _ in range(args.repeats):
                         float(fwd_fused(variables, x))
                     dt = (time.perf_counter() - t0) / (args.repeats * chain)
-                    print(
-                        f"batch {b:5d}: {b / dt:12,.0f} boards/sec "
-                        f"({dt * 1e3:7.2f} ms/batch, x{chain} chained)"
-                    )
+                    report(b, dt)
                 except Exception as e:  # noqa: BLE001
                     print(f"batch {b:5d}: failed ({type(e).__name__}: {e})")
 

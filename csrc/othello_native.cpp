@@ -159,3 +159,146 @@ long long oth_random_playouts(long long n_games, uint64_t seed, int rules,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Alpha-beta search (the engine behind evaluation.players.NativeMinimaxPlayer
+// — the strong classical baseline the reference intended EdaxPlayer to be,
+// /root/reference/src/eval/players.py:226-262, never finished there).
+//
+// Negamax + alpha-beta with static-weight move ordering; midgame evaluation
+// = mobility + positional square weights; exact disc-differential solve when
+// the empty count drops to `exact_empties`.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// classic positional weights: corners dominate, X/C squares poisoned
+constexpr int SQ_W[64] = {
+    100, -20, 10,  5,  5,  10, -20, 100,
+    -20, -50, -2, -2, -2,  -2, -50, -20,
+    10,  -2,  -1, -1, -1,  -1,  -2,  10,
+    5,   -2,  -1, -1, -1,  -1,  -2,   5,
+    5,   -2,  -1, -1, -1,  -1,  -2,   5,
+    10,  -2,  -1, -1, -1,  -1,  -2,  10,
+    -20, -50, -2, -2, -2,  -2, -50, -20,
+    100, -20, 10,  5,  5,  10, -20, 100,
+};
+
+constexpr int WIN_BASE = 10000;  // terminal scores dominate any eval
+
+inline int positional(uint64_t bb) {
+  int s = 0;
+  while (bb) {
+    s += SQ_W[__builtin_ctzll(bb)];
+    bb &= bb - 1;
+  }
+  return s;
+}
+
+inline int eval_mid(uint64_t me, uint64_t opp, int rules) {
+  const int my_mob = popcount64(oth_legal(me, opp, rules));
+  const int op_mob = popcount64(oth_legal(opp, me, rules));
+  return 10 * (my_mob - op_mob) + positional(me) - positional(opp);
+}
+
+inline int terminal_score(uint64_t me, uint64_t opp) {
+  const int d = popcount64(me) - popcount64(opp);
+  if (d > 0) return WIN_BASE + d;
+  if (d < 0) return -WIN_BASE + d;
+  return 0;
+}
+
+// exact = true: evaluate only at terminal (endgame disc-differential solve);
+// depth then only bounds pathological pass chains.
+int ab_search(uint64_t me, uint64_t opp, int depth, int alpha, int beta,
+              int rules, bool exact, bool passed) {
+  const uint64_t legal = oth_legal(me, opp, rules);
+  if (legal == 0) {
+    if (passed || oth_legal(opp, me, rules) == 0)
+      return terminal_score(me, opp);
+    return -ab_search(opp, me, depth, -beta, -alpha, rules, exact, true);
+  }
+  if (depth <= 0) return exact ? terminal_score(me, opp)
+                               : eval_mid(me, opp, rules);
+
+  // order moves by static square weight (descending insertion sort)
+  int moves[34], n = 0;
+  for (uint64_t bb = legal; bb; bb &= bb - 1) {
+    const int pos = __builtin_ctzll(bb);
+    int j = n++;
+    while (j > 0 && SQ_W[moves[j - 1]] < SQ_W[pos]) {
+      moves[j] = moves[j - 1];
+      --j;
+    }
+    moves[j] = pos;
+  }
+
+  int best = -2 * WIN_BASE;
+  for (int i = 0; i < n; ++i) {
+    const int pos = moves[i];
+    const uint64_t f = oth_flips(me, opp, pos, rules);
+    if (f == 0) continue;  // reference-rules quirk: legal mask can overreach
+    const uint64_t placed = me | (1ULL << pos) | f;
+    const int v = -ab_search(opp & ~f, placed, depth - 1, -beta, -alpha,
+                             rules, exact, false);
+    if (v > best) best = v;
+    if (best > alpha) alpha = best;
+    if (alpha >= beta) break;
+  }
+  if (best == -2 * WIN_BASE)  // no move actually flips: treat as pass
+    return passed ? terminal_score(me, opp)
+                  : -ab_search(opp, me, depth, -beta, -alpha, rules, exact,
+                               true);
+  return best;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Best action for the side to move: 0-63, or 64 (pass) when no legal move.
+// `depth` plies of midgame lookahead; when empties <= `exact_empties` the
+// position is solved exactly by disc differential. `score_out` (optional)
+// receives the negamax score of the chosen move.
+int oth_best_move(uint64_t me, uint64_t opp, int depth, int exact_empties,
+                  int rules, int* score_out) {
+  const uint64_t legal = oth_legal(me, opp, rules);
+  if (legal == 0) {
+    if (score_out) *score_out = 0;
+    return 64;
+  }
+  const int empties = 64 - popcount64(me | opp);
+  const bool exact = empties <= exact_empties;
+  const int d = exact ? 2 * empties + 4 : (depth < 1 ? 1 : depth);
+
+  int moves[34], n = 0;
+  for (uint64_t bb = legal; bb; bb &= bb - 1) {
+    const int pos = __builtin_ctzll(bb);
+    int j = n++;
+    while (j > 0 && SQ_W[moves[j - 1]] < SQ_W[pos]) {
+      moves[j] = moves[j - 1];
+      --j;
+    }
+    moves[j] = pos;
+  }
+
+  int best_pos = -1, best = -2 * WIN_BASE;
+  int alpha = -2 * WIN_BASE, beta = 2 * WIN_BASE;
+  for (int i = 0; i < n; ++i) {
+    const int pos = moves[i];
+    const uint64_t f = oth_flips(me, opp, pos, rules);
+    if (f == 0) continue;
+    const uint64_t placed = me | (1ULL << pos) | f;
+    const int v = -ab_search(opp & ~f, placed, d - 1, -beta, -alpha, rules,
+                             exact, false);
+    if (v > best) {
+      best = v;
+      best_pos = pos;
+    }
+    if (best > alpha) alpha = best;
+  }
+  if (score_out) *score_out = best;
+  return best_pos < 0 ? 64 : best_pos;
+}
+
+}  // extern "C"

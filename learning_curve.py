@@ -25,6 +25,10 @@ def main() -> None:
     parser.add_argument("--anchor-checkpoint", default=None,
                         help="also evaluate every checkpoint against this "
                              "fixed MCTS checkpoint (strength anchor)")
+    parser.add_argument("--minimax-depth", type=int, default=0,
+                        help="also evaluate vs the native C++ alpha-beta "
+                             "anchor at this depth (0 = off; host-callback "
+                             "player — use --device cpu on a tunneled TPU)")
     parser.add_argument("--opening-random-plies", type=int, default=4,
                         help="randomize the first k plies so deterministic "
                              "player pairs produce diverse games")
@@ -68,9 +72,16 @@ def main() -> None:
             args.anchor_checkpoint, num_simulations=args.simulations
         )
         anchor.name = "Anchor"
+    minimax = None
+    if args.minimax_depth:
+        from othello_reinforcement_learning_test_tpu.evaluation import (
+            NativeMinimaxPlayer,
+        )
     header = f"{'iter':>6} {'vs Random':>10} {'vs Greedy':>10}"
     if anchor:
         header += f" {'vs Anchor':>10}"
+    if args.minimax_depth:
+        header += f" {'vs Minimax':>10}"
     print(header)
     player = None
     for iteration, path in ckpts:
@@ -83,6 +94,10 @@ def main() -> None:
         opponents = [(RandomPlayer(engine), "random"), (GreedyPlayer(engine), "greedy")]
         if anchor is not None:
             opponents.append((anchor, "anchor"))
+        if args.minimax_depth:
+            if minimax is None:
+                minimax = NativeMinimaxPlayer(engine, depth=args.minimax_depth)
+            opponents.append((minimax, "minimax"))
         for opponent, name in opponents:
             rng, sub = jax.random.split(rng)
             out = evaluate_player(
@@ -98,6 +113,8 @@ def main() -> None:
         )
         if anchor is not None:
             line += f" {row['win_rate_vs_anchor']:>9.1%}"
+        if args.minimax_depth:
+            line += f" {row['win_rate_vs_minimax']:>9.1%}"
         print(line)
 
     out_path = args.output or os.path.join(

@@ -131,12 +131,23 @@ def eval_command(args) -> None:
     rng = set_seed(args.seed)
 
     opponents = [RandomPlayer(engine), GreedyPlayer(engine)]
+    if args.minimax_depth:
+        # strong classical anchor (C++ alpha-beta; needs a compiler + 8x8)
+        try:
+            from .evaluation import NativeMinimaxPlayer
+
+            opponents.append(
+                NativeMinimaxPlayer(engine, depth=args.minimax_depth)
+            )
+        except Exception as e:  # noqa: BLE001 — no compiler / non-8x8
+            print(f"minimax opponent unavailable: {e}")
     results_summary = {}
     for opponent in opponents:
         rng, sub = jax.random.split(rng)
         out = evaluate_player(
             player, opponent, engine, num_games=args.games, rng=sub,
             verbose=args.verbose,
+            opening_random_plies=args.opening_random_plies,
         )
         results_summary[opponent.name] = {
             "win_rate": out["win_rate"],
@@ -251,6 +262,12 @@ def build_parser() -> argparse.ArgumentParser:
     p_eval.add_argument("--simulations", type=int, default=None,
                     help="MCTS simulations per move (default: the checkpoint config mcts.num_simulations_eval, else 50)")
     p_eval.add_argument("--seed", type=int, default=42)
+    p_eval.add_argument("--minimax-depth", type=int, default=0,
+                        help="also evaluate vs the native C++ alpha-beta "
+                             "anchor at this depth (0 = off)")
+    p_eval.add_argument("--opening-random-plies", type=int, default=0,
+                        help="randomize the first k plies (game diversity "
+                             "between deterministic players)")
     p_eval.add_argument("--device", choices=["auto", "cpu"], default="auto")
     p_eval.add_argument("--verbose", action="store_true")
     p_eval.add_argument("--save-results", action="store_true")

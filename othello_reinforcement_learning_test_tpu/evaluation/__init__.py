@@ -4,6 +4,7 @@ from .players import (
     GreedyPlayer,
     HumanPlayer,
     MCTSPlayer,
+    NativeMinimaxPlayer,
     Player,
     RandomPlayer,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "MCTSPlayer",
     "MatchResult",
     "MatchSummary",
+    "NativeMinimaxPlayer",
     "Player",
     "RandomPlayer",
     "evaluate_player",

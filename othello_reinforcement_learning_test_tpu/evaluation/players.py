@@ -429,6 +429,90 @@ class EdaxPlayer(Player):
         return self._stateless_fn, ()
 
 
+class NativeMinimaxPlayer(Player):
+    """Strong classical baseline: the C++ alpha-beta engine
+    (``csrc/othello_native.cpp`` ``oth_best_move``) behind the batched
+    player API.
+
+    This is the in-repo realization of what the reference's ``EdaxPlayer``
+    stub reached for (``/root/reference/src/eval/players.py:226-262``, falls
+    back to random) — a search-based anchor opponent far above Greedy, with
+    no external binary. Midgame: negamax + alpha-beta at ``depth`` plies
+    with mobility+positional eval and static-weight move ordering; endgame:
+    exact disc-differential solve once ≤ ``exact_empties`` squares remain.
+    Depth 4 beats Greedy 40-0 and Random ~95% (tests/test_minimax.py).
+
+    Like EdaxPlayer, batched boards are served on the host behind
+    ``jax.experimental.io_callback`` (µs per position), composing with the
+    jitted lockstep arena. 8x8 only (the native engine is uint64).
+    Host-callback players need a backend with host-callback support: they
+    run on CPU and directly-attached TPU, but NOT over a tunneled/remote
+    PJRT backend (compile fails Unavailable) — pass ``--device cpu`` in
+    the eval tooling there."""
+
+    def __init__(self, engine: OthelloEngine, depth: int = 4,
+                 exact_empties: int = 12):
+        if engine.size != 8:
+            raise ValueError("NativeMinimaxPlayer requires an 8x8 engine")
+        from ..ops import native
+
+        native.load()  # build eagerly: fail at construction, not mid-match
+        self.engine = engine
+        self.depth = int(depth)
+        self.exact_empties = int(exact_empties)
+        self._native = native
+        self.name = f"Minimax(d{self.depth}/e{self.exact_empties})"
+
+    def _host_act(self, me, opp, legal) -> np.ndarray:
+        me = np.asarray(me)
+        opp = np.asarray(opp)
+        legal = np.asarray(legal)
+        B = me.shape[0]
+        words_m = (me.astype(np.uint64)[:, 0]
+                   | (me.astype(np.uint64)[:, 1] << np.uint64(32)))
+        words_o = (opp.astype(np.uint64)[:, 0]
+                   | (opp.astype(np.uint64)[:, 1] << np.uint64(32)))
+        pass_action = self.engine.pass_action
+        actions = np.zeros((B,), np.int32)
+        for i in range(B):
+            if not legal[i, :pass_action].any():
+                actions[i] = pass_action  # pass-only / finished game
+                continue
+            a, _ = self._native.best_move(
+                int(words_m[i]), int(words_o[i]), self.depth,
+                self.exact_empties, self.engine.rules,
+            )
+            if a >= pass_action or not legal[i, a]:
+                a = int(np.argmax(legal[i]))  # quirk guard: stay legal
+            actions[i] = a
+        return actions
+
+    def act(self, rng: jax.Array, boards: Board) -> jnp.ndarray:
+        fn, params = self.stateless()
+        return fn(params, rng, boards)
+
+    def stateless(self):
+        fn = getattr(self, "_stateless_fn", None)
+        if fn is None:
+            from jax.experimental import io_callback
+
+            engine = self.engine
+
+            def fn(params, rng, boards, _self=self):
+                legal = engine.legal_actions(boards)
+                return io_callback(
+                    _self._host_act,
+                    jax.ShapeDtypeStruct(
+                        (boards.move_count.shape[0],), jnp.int32
+                    ),
+                    boards.me, boards.opp, legal,
+                    ordered=True,
+                )
+
+            self._stateless_fn = fn
+        return self._stateless_fn, ()
+
+
 class HumanPlayer(Player):
     """stdin input for CLI play: accepts ``0-63``, ``row,col`` or ``pass``
     (reference players.py:265-303). Single game, host-side."""

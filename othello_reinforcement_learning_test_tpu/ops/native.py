@@ -68,8 +68,23 @@ def load() -> ctypes.CDLL:
             i64, u64, i32,
             ctypes.POINTER(i64), ctypes.POINTER(i64), ctypes.POINTER(i64),
         ]
+        lib.oth_best_move.restype = i32
+        lib.oth_best_move.argtypes = [u64, u64, i32, i32, i32,
+                                      ctypes.POINTER(i32)]
         _lib = lib
         return lib
+
+
+def best_move(me: int, opp: int, depth: int = 6, exact_empties: int = 12,
+              rules: str = "reference") -> Tuple[int, int]:
+    """Alpha-beta best action for the side to move (8x8): ``(action,
+    negamax score)``; action 64 = pass. Positions with ≤ ``exact_empties``
+    empty squares are solved exactly by disc differential."""
+    lib = load()
+    score = ctypes.c_int()
+    action = lib.oth_best_move(me, opp, int(depth), int(exact_empties),
+                               RULES[rules], ctypes.byref(score))
+    return int(action), int(score.value)
 
 
 def available() -> bool:
