@@ -78,7 +78,16 @@ def main() -> None:
           f"(subtracted from each row)")
 
     def report(b, dt_raw):
-        dt = max(dt_raw - null_call / args.chain, 1e-9)
+        dt = dt_raw - null_call / args.chain
+        if dt <= 0.1 * dt_raw:
+            # corrected time is inside measurement jitter of the dispatch
+            # overhead — an on-device boards/s figure would be meaningless
+            print(
+                f"batch {b:5d}: dispatch-dominated "
+                f"({dt_raw * 1e3:7.2f} ms raw, x{args.chain} chained; "
+                f"raise --chain to resolve)"
+            )
+            return
         print(
             f"batch {b:5d}: {b / dt:12,.0f} boards/sec "
             f"({dt * 1e3:7.2f} ms/batch on-device, "

@@ -208,21 +208,10 @@ inline int terminal_score(uint64_t me, uint64_t opp) {
   return 0;
 }
 
-// exact = true: evaluate only at terminal (endgame disc-differential solve);
-// depth then only bounds pathological pass chains.
-int ab_search(uint64_t me, uint64_t opp, int depth, int alpha, int beta,
-              int rules, bool exact, bool passed) {
-  const uint64_t legal = oth_legal(me, opp, rules);
-  if (legal == 0) {
-    if (passed || oth_legal(opp, me, rules) == 0)
-      return terminal_score(me, opp);
-    return -ab_search(opp, me, depth, -beta, -alpha, rules, exact, true);
-  }
-  if (depth <= 0) return exact ? terminal_score(me, opp)
-                               : eval_mid(me, opp, rules);
-
-  // order moves by static square weight (descending insertion sort)
-  int moves[34], n = 0;
+// order moves by static square weight (descending insertion sort);
+// `moves` must hold >= 34 ints (max Othello mobility is 33)
+inline int gen_ordered_moves(uint64_t legal, int* moves) {
+  int n = 0;
   for (uint64_t bb = legal; bb; bb &= bb - 1) {
     const int pos = __builtin_ctzll(bb);
     int j = n++;
@@ -232,7 +221,28 @@ int ab_search(uint64_t me, uint64_t opp, int depth, int alpha, int beta,
     }
     moves[j] = pos;
   }
+  return n;
+}
 
+// Negamax + alpha-beta. exact = true: evaluate only at terminal (endgame
+// disc-differential solve); depth then only bounds pathological pass
+// chains. When `best_pos` is non-null (the root call) the argmax action is
+// reported through it (64 = pass) — root and interior nodes share this one
+// routine so move ordering / pass / zero-flip handling cannot diverge.
+int ab_search(uint64_t me, uint64_t opp, int depth, int alpha, int beta,
+              int rules, bool exact, bool passed, int* best_pos = nullptr) {
+  const uint64_t legal = oth_legal(me, opp, rules);
+  if (legal == 0) {
+    if (best_pos) *best_pos = 64;
+    if (passed || oth_legal(opp, me, rules) == 0)
+      return terminal_score(me, opp);
+    return -ab_search(opp, me, depth, -beta, -alpha, rules, exact, true);
+  }
+  if (depth <= 0) return exact ? terminal_score(me, opp)
+                               : eval_mid(me, opp, rules);
+
+  int moves[34];
+  const int n = gen_ordered_moves(legal, moves);
   int best = -2 * WIN_BASE;
   for (int i = 0; i < n; ++i) {
     const int pos = moves[i];
@@ -241,14 +251,19 @@ int ab_search(uint64_t me, uint64_t opp, int depth, int alpha, int beta,
     const uint64_t placed = me | (1ULL << pos) | f;
     const int v = -ab_search(opp & ~f, placed, depth - 1, -beta, -alpha,
                              rules, exact, false);
-    if (v > best) best = v;
+    if (v > best) {
+      best = v;
+      if (best_pos) *best_pos = pos;
+    }
     if (best > alpha) alpha = best;
     if (alpha >= beta) break;
   }
-  if (best == -2 * WIN_BASE)  // no move actually flips: treat as pass
+  if (best == -2 * WIN_BASE) {  // no move actually flips: treat as pass
+    if (best_pos) *best_pos = 64;
     return passed ? terminal_score(me, opp)
                   : -ab_search(opp, me, depth, -beta, -alpha, rules, exact,
                                true);
+  }
   return best;
 }
 
@@ -259,46 +274,18 @@ extern "C" {
 // Best action for the side to move: 0-63, or 64 (pass) when no legal move.
 // `depth` plies of midgame lookahead; when empties <= `exact_empties` the
 // position is solved exactly by disc differential. `score_out` (optional)
-// receives the negamax score of the chosen move.
+// receives the negamax score of the chosen action — for a forced pass that
+// is the score of the passed-to position negated, not 0.
 int oth_best_move(uint64_t me, uint64_t opp, int depth, int exact_empties,
                   int rules, int* score_out) {
-  const uint64_t legal = oth_legal(me, opp, rules);
-  if (legal == 0) {
-    if (score_out) *score_out = 0;
-    return 64;
-  }
   const int empties = 64 - popcount64(me | opp);
   const bool exact = empties <= exact_empties;
   const int d = exact ? 2 * empties + 4 : (depth < 1 ? 1 : depth);
-
-  int moves[34], n = 0;
-  for (uint64_t bb = legal; bb; bb &= bb - 1) {
-    const int pos = __builtin_ctzll(bb);
-    int j = n++;
-    while (j > 0 && SQ_W[moves[j - 1]] < SQ_W[pos]) {
-      moves[j] = moves[j - 1];
-      --j;
-    }
-    moves[j] = pos;
-  }
-
-  int best_pos = -1, best = -2 * WIN_BASE;
-  int alpha = -2 * WIN_BASE, beta = 2 * WIN_BASE;
-  for (int i = 0; i < n; ++i) {
-    const int pos = moves[i];
-    const uint64_t f = oth_flips(me, opp, pos, rules);
-    if (f == 0) continue;
-    const uint64_t placed = me | (1ULL << pos) | f;
-    const int v = -ab_search(opp & ~f, placed, d - 1, -beta, -alpha, rules,
-                             exact, false);
-    if (v > best) {
-      best = v;
-      best_pos = pos;
-    }
-    if (best > alpha) alpha = best;
-  }
-  if (score_out) *score_out = best;
-  return best_pos < 0 ? 64 : best_pos;
+  int best_pos = 64;
+  const int score = ab_search(me, opp, d, -2 * WIN_BASE, 2 * WIN_BASE,
+                              rules, exact, false, &best_pos);
+  if (score_out) *score_out = score;
+  return best_pos;
 }
 
 }  // extern "C"

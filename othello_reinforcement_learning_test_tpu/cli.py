@@ -144,11 +144,18 @@ def eval_command(args) -> None:
     results_summary = {}
     for opponent in opponents:
         rng, sub = jax.random.split(rng)
-        out = evaluate_player(
-            player, opponent, engine, num_games=args.games, rng=sub,
-            verbose=args.verbose,
-            opening_random_plies=args.opening_random_plies,
-        )
+        try:
+            out = evaluate_player(
+                player, opponent, engine, num_games=args.games, rng=sub,
+                verbose=args.verbose,
+                opening_random_plies=args.opening_random_plies,
+            )
+        except Exception as e:  # noqa: BLE001 — e.g. host-callback players
+            # fail to compile over a tunneled PJRT backend; keep the
+            # completed opponents' results instead of aborting the eval
+            print(f"vs {opponent.name}: evaluation failed ({e})")
+            results_summary[opponent.name] = {"error": str(e)}
+            continue
         results_summary[opponent.name] = {
             "win_rate": out["win_rate"],
             "avg_score": out["avg_score"],

@@ -221,7 +221,77 @@ class MCTSPlayer(Player):
         return player
 
 
-class EdaxPlayer(Player):
+class _HostCallbackPlayer(Player):
+    """Shared plumbing for players whose move choice runs on the host
+    behind ``jax.experimental.io_callback`` (the Edax subprocess and the
+    native alpha-beta engine): u32-pair -> u64 word packing, pass-only
+    short-circuit (finished games in the lockstep arena never hit the
+    engine), illegal-reply fallback to the first legal action, and the
+    cached stateless closure.
+
+    Subclasses implement ``_host_move(i, me_words, opp_words, move_count,
+    legal) -> Optional[int]`` for one game; returning ``None``, a pass, or
+    an illegal action falls back to the first legal action.
+
+    io_callback programs compile on CPU and directly-attached TPU but not
+    over a tunneled/remote PJRT backend — drive these players with
+    ``--device cpu`` there."""
+
+    engine: OthelloEngine
+
+    def _host_move(self, i: int, me_words: np.ndarray, opp_words: np.ndarray,
+                   move_count: np.ndarray, legal: np.ndarray) -> Optional[int]:
+        raise NotImplementedError
+
+    def _host_act(self, me, opp, move_count, legal) -> np.ndarray:
+        me = np.asarray(me)
+        opp = np.asarray(opp)
+        move_count = np.asarray(move_count)
+        legal = np.asarray(legal)
+        B = me.shape[0]
+        me_words = (me.astype(np.uint64)[:, 0]
+                    | (me.astype(np.uint64)[:, 1] << np.uint64(32)))
+        opp_words = (opp.astype(np.uint64)[:, 0]
+                     | (opp.astype(np.uint64)[:, 1] << np.uint64(32)))
+        pass_action = self.engine.pass_action
+        actions = np.zeros((B,), np.int32)
+        for i in range(B):
+            if not legal[i, :pass_action].any():
+                actions[i] = pass_action  # pass-only / finished game
+                continue
+            a = self._host_move(i, me_words, opp_words, move_count, legal)
+            if a is None or a >= pass_action or not legal[i, a]:
+                a = int(np.argmax(legal[i]))  # quirk guard: stay legal
+            actions[i] = a
+        return actions
+
+    def act(self, rng: jax.Array, boards: Board) -> jnp.ndarray:
+        fn, params = self.stateless()
+        return fn(params, rng, boards)
+
+    def stateless(self):
+        fn = getattr(self, "_stateless_fn", None)
+        if fn is None:
+            from jax.experimental import io_callback
+
+            engine = self.engine
+
+            def fn(params, rng, boards, _self=self):
+                legal = engine.legal_actions(boards)
+                return io_callback(
+                    _self._host_act,
+                    jax.ShapeDtypeStruct(
+                        (boards.move_count.shape[0],), jnp.int32
+                    ),
+                    boards.me, boards.opp, boards.move_count, legal,
+                    ordered=True,
+                )
+
+            self._stateless_fn = fn
+        return self._stateless_fn, ()
+
+
+class EdaxPlayer(_HostCallbackPlayer):
     """External Edax engine adapter over a persistent console subprocess.
 
     Implements the subprocess protocol the reference declares but never
@@ -356,80 +426,36 @@ class EdaxPlayer(Player):
             self.close()
         return None
 
-    # -- host-side batched act -------------------------------------------
-    def _host_act(self, me, opp, move_count, legal) -> np.ndarray:
+    # -- host-side move choice (one game; see _HostCallbackPlayer) --------
+    def _host_move(self, i, me_words, opp_words, move_count, legal):
         size = self.engine.size
-        me = np.asarray(me)
-        opp = np.asarray(opp)
-        move_count = np.asarray(move_count)
-        legal = np.asarray(legal)
-        B = me.shape[0]
-        # unpack (lo, hi) u32 words to 64 bools, grid bit = row*8 + col
-        words = (me.astype(np.uint64)[:, 0]
-                 | (me.astype(np.uint64)[:, 1] << np.uint64(32)))
-        words_o = (opp.astype(np.uint64)[:, 0]
-                   | (opp.astype(np.uint64)[:, 1] << np.uint64(32)))
-        shifts = np.arange(64, dtype=np.uint64)
-        me_bits = (words[:, None] >> shifts) & np.uint64(1)
-        opp_bits = (words_o[:, None] >> shifts) & np.uint64(1)
-
-        pass_action = size * size
-        actions = np.zeros((B,), np.int32)
-        for i in range(B):
-            # pass-only positions (including finished games, whose only
-            # "legal" action is pass) need no engine round-trip — in the
-            # lockstep arena this skips roughly half the subprocess queries
-            # and all queries for games that already ended
-            if not legal[i, :pass_action].any():
-                actions[i] = pass_action
-                continue
-            mover_black = int(move_count[i]) % 2 == 0
-            me_ch, opp_ch = ("X", "O") if mover_black else ("O", "X")
-            chars = []
-            for r in range(size):
-                for c in range(size):
-                    b = r * 8 + c
-                    if me_bits[i, b]:
-                        chars.append(me_ch)
-                    elif opp_bits[i, b]:
-                        chars.append(opp_ch)
-                    else:
-                        chars.append("-")
-            a = self._query_move("".join(chars), me_ch)
-            if a is None or not legal[i, a]:
-                a = int(np.argmax(legal[i]))  # first legal action
-            actions[i] = a
-        return actions
+        mover_black = int(move_count[i]) % 2 == 0
+        me_ch, opp_ch = ("X", "O") if mover_black else ("O", "X")
+        me_w, opp_w = int(me_words[i]), int(opp_words[i])
+        chars = []
+        for r in range(size):
+            for c in range(size):
+                b = r * 8 + c  # grid bit = row*8 + col
+                if me_w >> b & 1:
+                    chars.append(me_ch)
+                elif opp_w >> b & 1:
+                    chars.append(opp_ch)
+                else:
+                    chars.append("-")
+        return self._query_move("".join(chars), me_ch)
 
     def act(self, rng: jax.Array, boards: Board) -> jnp.ndarray:
         if self.binary is None:
             return self._fallback.act(rng, boards)
-        fn, params = self.stateless()
-        return fn(params, rng, boards)
+        return super().act(rng, boards)
 
     def stateless(self):
         if self.binary is None:
             return self._fallback.stateless()
-        fn = getattr(self, "_stateless_fn", None)
-        if fn is None:
-            from jax.experimental import io_callback
-
-            engine = self.engine
-
-            def fn(params, rng, boards, _self=self):
-                legal = engine.legal_actions(boards)
-                return io_callback(
-                    _self._host_act,
-                    jax.ShapeDtypeStruct((boards.move_count.shape[0],), jnp.int32),
-                    boards.me, boards.opp, boards.move_count, legal,
-                    ordered=True,
-                )
-
-            self._stateless_fn = fn
-        return self._stateless_fn, ()
+        return super().stateless()
 
 
-class NativeMinimaxPlayer(Player):
+class NativeMinimaxPlayer(_HostCallbackPlayer):
     """Strong classical baseline: the C++ alpha-beta engine
     (``csrc/othello_native.cpp`` ``oth_best_move``) behind the batched
     player API.
@@ -442,13 +468,10 @@ class NativeMinimaxPlayer(Player):
     exact disc-differential solve once ≤ ``exact_empties`` squares remain.
     Depth 4 beats Greedy 40-0 and Random ~95% (tests/test_minimax.py).
 
-    Like EdaxPlayer, batched boards are served on the host behind
-    ``jax.experimental.io_callback`` (µs per position), composing with the
-    jitted lockstep arena. 8x8 only (the native engine is uint64).
-    Host-callback players need a backend with host-callback support: they
-    run on CPU and directly-attached TPU, but NOT over a tunneled/remote
-    PJRT backend (compile fails Unavailable) — pass ``--device cpu`` in
-    the eval tooling there."""
+    Like EdaxPlayer, batched boards are served on the host (µs per
+    position) through the shared ``_HostCallbackPlayer`` plumbing — see
+    its docstring for the io_callback/backend caveats. 8x8 only (the
+    native engine is uint64)."""
 
     def __init__(self, engine: OthelloEngine, depth: int = 4,
                  exact_empties: int = 12):
@@ -463,54 +486,12 @@ class NativeMinimaxPlayer(Player):
         self._native = native
         self.name = f"Minimax(d{self.depth}/e{self.exact_empties})"
 
-    def _host_act(self, me, opp, legal) -> np.ndarray:
-        me = np.asarray(me)
-        opp = np.asarray(opp)
-        legal = np.asarray(legal)
-        B = me.shape[0]
-        words_m = (me.astype(np.uint64)[:, 0]
-                   | (me.astype(np.uint64)[:, 1] << np.uint64(32)))
-        words_o = (opp.astype(np.uint64)[:, 0]
-                   | (opp.astype(np.uint64)[:, 1] << np.uint64(32)))
-        pass_action = self.engine.pass_action
-        actions = np.zeros((B,), np.int32)
-        for i in range(B):
-            if not legal[i, :pass_action].any():
-                actions[i] = pass_action  # pass-only / finished game
-                continue
-            a, _ = self._native.best_move(
-                int(words_m[i]), int(words_o[i]), self.depth,
-                self.exact_empties, self.engine.rules,
-            )
-            if a >= pass_action or not legal[i, a]:
-                a = int(np.argmax(legal[i]))  # quirk guard: stay legal
-            actions[i] = a
-        return actions
-
-    def act(self, rng: jax.Array, boards: Board) -> jnp.ndarray:
-        fn, params = self.stateless()
-        return fn(params, rng, boards)
-
-    def stateless(self):
-        fn = getattr(self, "_stateless_fn", None)
-        if fn is None:
-            from jax.experimental import io_callback
-
-            engine = self.engine
-
-            def fn(params, rng, boards, _self=self):
-                legal = engine.legal_actions(boards)
-                return io_callback(
-                    _self._host_act,
-                    jax.ShapeDtypeStruct(
-                        (boards.move_count.shape[0],), jnp.int32
-                    ),
-                    boards.me, boards.opp, legal,
-                    ordered=True,
-                )
-
-            self._stateless_fn = fn
-        return self._stateless_fn, ()
+    def _host_move(self, i, me_words, opp_words, move_count, legal):
+        a, _ = self._native.best_move(
+            int(me_words[i]), int(opp_words[i]), self.depth,
+            self.exact_empties, self.engine.rules,
+        )
+        return a
 
 
 class HumanPlayer(Player):

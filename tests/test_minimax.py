@@ -62,6 +62,17 @@ def test_takes_offered_corner():
     assert a == 0  # corner is the dominant choice of the weight table
 
 
+def _passed(board: native.NativeBoard) -> native.NativeBoard:
+    """The position after a pass: sides swap. Built directly (the engine's
+    make_move(64) rightly refuses a pass while the legal mask is nonzero,
+    which the zero-flip quirk branch below needs)."""
+    nxt = board.copy()
+    nxt.self_board, nxt.opp_board = nxt.opp_board, nxt.self_board
+    nxt.move_count += 1
+    nxt.passed = True
+    return nxt
+
+
 def _brute_force_score(board: native.NativeBoard, passed: bool = False) -> int:
     """Negamax over the full remaining game, disc-differential terminal
     scoring identical to the C++ (WIN_BASE +/- diff)."""
@@ -74,9 +85,7 @@ def _brute_force_score(board: native.NativeBoard, passed: bool = False) -> int:
             me, op = board.get_stone_counts()
             d = me - op
             return (10000 + d) if d > 0 else (-10000 + d) if d < 0 else 0
-        nxt = board.copy()
-        assert nxt.make_move(64)
-        return -_brute_force_score(nxt, passed=True)
+        return -_brute_force_score(_passed(board), passed=True)
     best = None
     for a in range(64):
         if not legal >> a & 1:
@@ -87,10 +96,14 @@ def _brute_force_score(board: native.NativeBoard, passed: bool = False) -> int:
         v = -_brute_force_score(nxt)
         if best is None or v > best:
             best = v
-    if best is None:  # quirk: legal mask had only zero-flip squares
-        nxt = board.copy()
-        assert nxt.make_move(64)
-        return -_brute_force_score(nxt, passed=True)
+    if best is None:
+        # quirk: legal mask had only zero-flip squares — the C++ search
+        # treats this as a pass (never observed in 300k random positions)
+        if passed:
+            me, op = board.get_stone_counts()
+            d = me - op
+            return (10000 + d) if d > 0 else (-10000 + d) if d < 0 else 0
+        return -_brute_force_score(_passed(board), passed=True)
     return best
 
 
@@ -106,8 +119,8 @@ def _random_position(seed: int, target_empties: int) -> native.NativeBoard:
     return b
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
-def test_exact_endgame_matches_brute_force(seed):
+@pytest.mark.parametrize("seed", [0, 1, 2, 51])  # 51 reaches a forced-pass
+def test_exact_endgame_matches_brute_force(seed):  # root (score regression)
     b = _random_position(seed, target_empties=6)
     if b.is_terminal():
         pytest.skip("random line ended early")
