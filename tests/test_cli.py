@@ -48,3 +48,33 @@ def test_eval_simulations_default_from_sidecar():
     defines but never reads)."""
     args = build_parser().parse_args(["eval", "--checkpoint", "x"])
     assert args.simulations is None
+
+
+def test_eval_survives_failing_opponent(test_checkpoint, monkeypatch, capsys):
+    """A failing opponent (e.g. a host-callback player that can't compile
+    over a tunneled backend) must not abort eval — completed opponents'
+    results are kept and reported."""
+    import argparse
+
+    from othello_reinforcement_learning_test_tpu import cli, evaluation
+
+    real_evaluate = evaluation.evaluate_player
+    calls = []
+
+    def flaky(player, opponent, *a, **kw):
+        calls.append(opponent.name)
+        if opponent.name.startswith("Greedy"):
+            raise RuntimeError("backend setup/compile error (Unavailable)")
+        return real_evaluate(player, opponent, *a, **kw)
+
+    monkeypatch.setattr(evaluation, "evaluate_player", flaky)
+    args = argparse.Namespace(
+        checkpoint=test_checkpoint, games=2, simulations=2, seed=0,
+        minimax_depth=0, opening_random_plies=0, device="cpu",
+        verbose=False, save_results=False,
+    )
+    cli.eval_command(args)  # must not raise
+    out = capsys.readouterr().out
+    assert calls == ["Random", "Greedy"]  # both attempted
+    assert "vs Random" in out and "win rate" in out
+    assert "evaluation failed" in out and "Unavailable" in out
