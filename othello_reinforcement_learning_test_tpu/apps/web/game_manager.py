@@ -181,7 +181,10 @@ class GameManager:
 
     def list_models(self) -> List[str]:
         """Checkpoint directories under the model dir (the reference globs
-        ``data/models/**/*.pt``, api.py:236-246; ours are orbax dirs)."""
+        ``data/models/**/*.pt``, api.py:236-246; ours are orbax dirs), plus
+        any reference-format ``.pt``/``.pth`` files — those load through the
+        torch weight bridge, so reference-trained models are selectable in
+        the web UI as-is."""
         out = []
         for p in sorted(glob.glob(os.path.join(self.model_dir, "**"),
                                   recursive=True)):
@@ -189,6 +192,8 @@ class GameManager:
                 os.path.basename(p).startswith("checkpoint_")
                 or os.path.basename(p) == "final_model"
             ):
+                out.append(p)
+            elif os.path.isfile(p) and p.endswith((".pt", ".pth")):
                 out.append(p)
         return out
 

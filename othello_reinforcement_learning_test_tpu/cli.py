@@ -244,6 +244,48 @@ def play_command(args) -> None:
     print(f"game over: {outcome}")
 
 
+def export_command(args) -> None:
+    """Export a trained checkpoint to interchange formats:
+
+    - ``reference-pt``: a torch checkpoint with the reference trainer's
+      exact dict shape and state-dict keys (reference trainer.py:374-383)
+      — loadable by the reference's CLI/GUI/web unmodified;
+    - ``torchscript``: traced torch module, reference NCHW I/O contract;
+    - ``onnx``: the reference's unimplemented REMAINING_TASKS §3 item
+      (needs the optional ``onnx`` package, like the reference's extra);
+    - ``stablehlo``: the TPU-native serving artifact (``models/export.py``).
+
+    The input may itself be a reference ``.pt`` file, so this command also
+    converts reference checkpoints between formats.
+    """
+    _maybe_force_cpu("cpu")  # weight surgery + tracing is host-side work
+    from .evaluation.players import MCTSPlayer
+    from .train import checkpoint as ckpt_lib
+
+    player = MCTSPlayer.from_checkpoint(args.checkpoint)
+    variables = player.variables
+    if args.format == "reference-pt":
+        from .models.torch_bridge import save_reference_checkpoint
+
+        cfg = ckpt_lib.load_config(args.checkpoint) or {}
+        save_reference_checkpoint(variables, args.out, config=cfg)
+    elif args.format == "torchscript":
+        from .models.torch_bridge import save_torchscript
+
+        save_torchscript(variables, args.out, batch_size=args.batch_size)
+    elif args.format == "onnx":
+        from .models.torch_bridge import save_onnx
+
+        save_onnx(variables, args.out, batch_size=args.batch_size)
+    else:  # stablehlo
+        from .models.export import save_stablehlo
+
+        save_stablehlo(
+            player.model, variables, args.out, batch_size=args.batch_size
+        )
+    print(f"exported {args.format} -> {args.out}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="Othello AlphaZero (TPU) - CLI")
     sub = parser.add_subparsers(dest="command", help="Commands")
@@ -287,6 +329,23 @@ def build_parser() -> argparse.ArgumentParser:
     p_play.add_argument("--seed", type=int, default=0)
     p_play.add_argument("--device", choices=["auto", "cpu"], default="auto")
     p_play.set_defaults(func=play_command)
+
+    p_exp = sub.add_parser(
+        "export",
+        help="Export a checkpoint (reference .pt / TorchScript / ONNX / "
+             "StableHLO)",
+    )
+    p_exp.add_argument("--checkpoint", type=str, required=True,
+                       help="orbax checkpoint dir or a reference .pt file")
+    p_exp.add_argument("--out", type=str, required=True)
+    p_exp.add_argument(
+        "--format",
+        choices=["reference-pt", "torchscript", "onnx", "stablehlo"],
+        default="reference-pt",
+    )
+    p_exp.add_argument("--batch-size", type=int, default=1,
+                       help="static batch for torchscript/onnx/stablehlo")
+    p_exp.set_defaults(func=export_command)
 
     return parser
 

@@ -183,11 +183,37 @@ class MCTSPlayer(Player):
     ) -> "MCTSPlayer":
         """Load a trainer checkpoint; architecture comes from the config
         sidecar (the reference infers it from state-dict shapes,
-        players.py:159-223 — we persist the config instead)."""
+        players.py:159-223 — we persist the config instead).
+
+        A ``.pt``/``.pth`` *file* is treated as a reference-format torch
+        checkpoint and imported through the weight bridge
+        (``models/torch_bridge.py``) — a model trained on the reference
+        plays here unmodified, mirroring ``MCTSPlayer.from_checkpoint``'s
+        shape inference (reference players.py:183-204)."""
         from ..models.resnet import init_variables
         from ..ops.bitboard import get_engine
         from ..train import checkpoint as ckpt_lib
         from ..train.trainer import TrainState, apply_eval, make_optimizer
+
+        if os.path.isfile(path) and path.endswith((".pt", ".pth")):
+            from ..models.torch_bridge import load_reference_checkpoint
+
+            model, variables, cfg = load_reference_checkpoint(path)
+            engine = engine or get_engine(
+                model.board_size, cfg.get("game", {}).get("rules", "reference")
+            )
+            player = cls(
+                engine,
+                apply_eval(model),
+                {
+                    "params": variables["params"],
+                    "batch_stats": variables["batch_stats"],
+                },
+                num_simulations=num_simulations,
+                c_puct=c_puct,
+            )
+            player.model = model
+            return player
 
         cfg = ckpt_lib.load_config(path) or {}
         mc = cfg.get("model", {})
