@@ -28,6 +28,28 @@ MIN_SIMULATIONS = 10
 MAX_SIMULATIONS = 500
 
 
+def _is_state_dict_file(path: str) -> bool:
+    """True for torch pickle checkpoints (``torch.save`` zip archives hold a
+    ``data.pkl``), False for TorchScript exports (``torch.jit.save`` archives
+    hold ``constants.pkl``/``code/`` instead) — the latter fail under
+    ``torch.load(weights_only=True)`` so offering them in the model list
+    would be a dead entry. Legacy non-zip pickles pass through as loadable."""
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(path) as zf:
+            names = zf.namelist()
+        # both archive kinds carry data.pkl; only TorchScript adds
+        # constants.pkl + a code/ tree
+        return not any(
+            n.endswith("constants.pkl") or "/code/" in n for n in names
+        )
+    except zipfile.BadZipFile:
+        return True
+    except OSError:
+        return False
+
+
 class GameManager:
     """Single interactive game session (thread-safe via a session lock)."""
 
@@ -194,7 +216,8 @@ class GameManager:
             ):
                 out.append(p)
             elif os.path.isfile(p) and p.endswith((".pt", ".pth")):
-                out.append(p)
+                if _is_state_dict_file(p):
+                    out.append(p)
         return out
 
     def execute_ai_move(self) -> Tuple[bool, Optional[str]]:

@@ -267,7 +267,11 @@ def export_command(args) -> None:
     if args.format == "reference-pt":
         from .models.torch_bridge import save_reference_checkpoint
 
-        cfg = ckpt_lib.load_config(args.checkpoint) or {}
+        # a reference-.pt input carries its config inside the file, not in an
+        # orbax sidecar — from_checkpoint exposes whichever one it loaded
+        cfg = getattr(player, "config", None) or ckpt_lib.load_config(
+            args.checkpoint
+        ) or {}
         save_reference_checkpoint(variables, args.out, config=cfg)
     elif args.format == "torchscript":
         from .models.torch_bridge import save_torchscript

@@ -213,6 +213,7 @@ class MCTSPlayer(Player):
                 c_puct=c_puct,
             )
             player.model = model
+            player.config = cfg  # the .pt's embedded config (re-export uses it)
             return player
 
         cfg = ckpt_lib.load_config(path) or {}
@@ -244,6 +245,7 @@ class MCTSPlayer(Player):
         )
         player.model = model
         player.train_state = state
+        player.config = cfg
         return player
 
 

@@ -253,8 +253,10 @@ def save_reference_checkpoint(
     tr = (config or {}).get("training", {})
     optimizer = torch.optim.SGD(
         mirror.parameters(),
-        lr=float(tr.get("learning_rate", 1e-3)),
-        momentum=0.9,
+        # repo configs use training.lr (same key as the reference yamls);
+        # accept the long form too so neither spelling silently falls back
+        lr=float(tr.get("lr", tr.get("learning_rate", 1e-3))),
+        momentum=float(tr.get("momentum", 0.9)),
         weight_decay=float(tr.get("weight_decay", 1e-4)),
     )
     scheduler = torch.optim.lr_scheduler.StepLR(

@@ -92,8 +92,24 @@ def sample(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Uniform minibatch -> (features (B,S,S,3), pi (B,A), value (B,1)),
     matching the reference sample contract (buffer.py:59-85) with features
-    recomputed from packed boards on device."""
-    idx = jax.random.randint(rng, (batch_size,), 0, jnp.maximum(buffer.filled, 1))
+    recomputed from packed boards on device.
+
+    Like the reference's ``random.sample`` (buffer.py:76), the minibatch is
+    drawn WITHOUT replacement whenever the buffer holds at least
+    ``batch_size`` valid entries: every valid slot gets an i.i.d. uniform
+    key and the ``batch_size`` smallest keys win (a fixed-shape on-device
+    equivalent of a partial Fisher-Yates shuffle). If the buffer is smaller
+    than the batch — a state ``is_ready`` callers never sample from — it
+    falls back to with-replacement draws rather than returning junk slots.
+    """
+    C = buffer.capacity
+    valid = jnp.arange(C + 1) < buffer.filled
+    keys = jnp.where(valid, jax.random.uniform(rng, (C + 1,)), 2.0)
+    _, idx_noreplace = jax.lax.top_k(-keys, batch_size)
+    idx_fallback = jax.random.randint(
+        rng, (batch_size,), 0, jnp.maximum(buffer.filled, 1)
+    )
+    idx = jnp.where(buffer.filled >= batch_size, idx_noreplace, idx_fallback)
     me = buffer.me[idx]
     opp = buffer.opp[idx]
     from ..ops.bitboard import Board

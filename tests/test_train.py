@@ -55,6 +55,36 @@ class TestBuffer:
         assert int(buf.total_added) == 16
         assert int(buf.cursor) == 6
 
+    def test_sample_without_replacement(self):
+        # like the reference's random.sample (buffer.py:76): when the buffer
+        # holds >= batch_size entries, a minibatch never repeats a slot.
+        # With filled == batch_size the sample must be a permutation.
+        eng = get_engine(8)
+        buf = buffer_lib.create(32, 65)
+        for i in range(4):
+            buf = buffer_lib.add(buf, make_traj(4, value=0.1 * (i + 1)))
+        assert int(buf.filled) == 16
+        for seed in range(5):
+            _, _, v = buffer_lib.sample(buf, jax.random.PRNGKey(seed), eng, 16)
+            got = np.sort(np.asarray(v).ravel())
+            want = np.sort(np.asarray(buf.value[:16]))
+            np.testing.assert_allclose(got, want, atol=1e-7)
+
+    def test_sample_smaller_than_filled_is_distinct(self):
+        eng = get_engine(8)
+        buf = buffer_lib.create(64, 65)
+        # distinct values per slot so a value collision implies a slot repeat
+        for i in range(8):
+            buf = buffer_lib.add(buf, make_traj(4, value=(i + 1) / 9.0))
+        assert int(buf.filled) == 32
+        for seed in range(5):
+            _, _, v = buffer_lib.sample(buf, jax.random.PRNGKey(seed), eng, 8)
+            vals = np.asarray(v).ravel()
+            # 4 slots share each value; 8 draws may repeat a value but the
+            # count of any value can't exceed its multiplicity (4)
+            _, counts = np.unique(vals, return_counts=True)
+            assert counts.max() <= 4
+
     def test_is_ready(self):
         buf = buffer_lib.create(32, 65)
         assert not buffer_lib.is_ready(buf, 1)

@@ -3,6 +3,7 @@ drive it over HTTP (mirrors the REST half of the reference's Playwright
 suite, tests/test_web_e2e.py:196-269)."""
 
 import json
+import os
 import socket
 import urllib.request
 
@@ -104,6 +105,27 @@ def test_ai_requires_model(base_url):
 def test_models_listing_empty(base_url):
     status, res = call(base_url, "/api/ai/models")
     assert status == 200 and res["models"] == []
+
+
+def test_models_listing_skips_torchscript(tmp_path):
+    # TorchScript exports conventionally share the .pt extension but fail
+    # under torch.load(weights_only=True); the listing must not offer them
+    torch = pytest.importorskip("torch")
+    from othello_reinforcement_learning_test_tpu.apps.web.game_manager import (
+        GameManager,
+    )
+
+    torch.save({"model_state_dict": {}}, tmp_path / "weights.pt")
+
+    class _M(torch.nn.Module):
+        def forward(self, x):
+            return x
+
+    torch.jit.save(torch.jit.script(_M()), str(tmp_path / "scripted.pt"))
+    (tmp_path / "junk.txt").write_text("not a model")
+    gm = GameManager(model_dir=str(tmp_path))
+    names = [os.path.basename(p) for p in gm.list_models()]
+    assert names == ["weights.pt"]
 
 
 def test_static_files_served(base_url):
