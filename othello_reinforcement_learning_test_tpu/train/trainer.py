@@ -258,6 +258,10 @@ class AlphaZeroTrainer:
         sc = config.get("system", {})
         self.seed = seed if seed is not None else int(sc.get("seed", 42))
         self.rng = jax.random.PRNGKey(self.seed)
+        # self-healing: max CONSECUTIVE iteration failures tolerated before
+        # the training run gives up (reference has no recovery at all,
+        # SURVEY.md §5 "Failure detection")
+        self.max_recovery_retries = int(sc.get("max_recovery_retries", 3))
 
         tc = config.get("training", {})
         self.batch_size = int(tc.get("batch_size", 256))
@@ -602,105 +606,181 @@ class AlphaZeroTrainer:
         last: Dict[str, float] = {}
         recent_iter_times: list = []
         recent_losses: list = []
-        for it in range(start_iter, num_iterations):
-            t0 = time.time()
-            traj = self.run_self_play(episodes)
-            jax.block_until_ready(traj.mask)
-            sp_time = time.time() - t0
-
-            if self.prioritized:
-                self.buffer = buffer_lib.add_prioritized(self.buffer, traj)
-            else:
-                self.buffer = buffer_lib.add(self.buffer, traj)
-
-            t1 = time.time()
-            losses = []
-            if buffer_lib.is_ready(self.buffer, self.batch_size):
-                for _ in range(self.epochs_per_iter):
-                    self.rng, sub = jax.random.split(self.rng)
-                    if self.distributed:
-                        from ..parallel.mesh import to_global_replicated
-
-                        sub = to_global_replicated(sub, self.mesh)
-                    if self.prioritized:
-                        self.state, self.buffer, metrics = train_step_prioritized(
-                            self.model,
-                            self.engine,
-                            self.tx,
-                            self.state,
-                            self.buffer,
-                            sub,
-                            batch_size=self.batch_size,
-                            augment=self.augment,
-                            mesh=self.mesh,
-                        )
-                    else:
-                        self.state, metrics = train_step(
-                            self.model,
-                            self.engine,
-                            self.tx,
-                            self.state,
-                            self.buffer,
-                            sub,
-                            batch_size=self.batch_size,
-                            augment=self.augment,
-                            mesh=self.mesh,
-                        )
-                    losses.append(metrics)
-            jax.block_until_ready(self.state.params)
-            tr_time = time.time() - t1
-
-            new_iter = jnp.int32(it + 1)
-            if self.distributed:
-                from ..parallel.mesh import to_global_replicated
-
-                new_iter = to_global_replicated(new_iter, self.mesh)
-            self.state = self.state.replace(iteration=new_iter)
-            stats = jax.device_get(buffer_lib.statistics(self.buffer))
-            avg = lambda k: (  # noqa: E731
-                float(jnp.mean(jnp.stack([m[k] for m in losses]))) if losses else 0.0
-            )
-            scalars = {
-                "Loss/train": avg("loss"),
-                "Loss/policy": avg("policy_loss"),
-                "Loss/value": avg("value_loss"),
-                "Time/self_play": sp_time,
-                "Time/train": tr_time,
-                "Buffer/size": float(stats["size"]),
-                "Buffer/value_mean": float(stats["value_mean"]),
-                "Buffer/value_std": float(stats["value_std"]),
-                "SelfPlay/avg_moves": float(jnp.mean(traj.num_moves)),
-            }
-            for k, v in scalars.items():
-                self.writer.scalar(k, v, it + 1)
-            self.writer.flush()
-            last = scalars
-            # console UX: ETA from recent iteration times + loss trend arrow
-            # (reference trainer.py:93-134,165-232)
-            recent_iter_times.append(sp_time + tr_time)
-            recent_iter_times = recent_iter_times[-10:]
-            recent_losses.append(scalars["Loss/train"])
-            recent_losses = recent_losses[-5:]
-            eta = (num_iterations - it - 1) * (
-                sum(recent_iter_times) / len(recent_iter_times)
-            )
-            trend = ""
-            if len(recent_losses) >= 2:
-                trend = " ↓" if recent_losses[-1] < recent_losses[0] else " ↑"
-            self.log(
-                f"iter {it + 1}/{num_iterations} loss={scalars['Loss/train']:.4f}"
-                f"{trend} self_play={sp_time:.1f}s train={tr_time:.1f}s "
-                f"buffer={int(stats['size'])} eta={eta / 60:.1f}m"
-            )
-
-            self.run_gating(it + 1)
-
-            if (it + 1) % self.checkpoint_interval == 0:
-                self.save_checkpoint(f"checkpoint_iter_{it + 1:06d}")
-
+        it = start_iter
+        consecutive_failures = 0
+        while it < num_iterations:
+            try:
+                last = self._train_iteration(
+                    it, episodes, num_iterations,
+                    recent_iter_times, recent_losses,
+                )
+                it += 1
+                consecutive_failures = 0
+            except (KeyboardInterrupt, SystemExit):
+                raise
+            except Exception as e:  # noqa: BLE001 — backend/dispatch wedges
+                consecutive_failures += 1
+                if consecutive_failures > self.max_recovery_retries:
+                    self.log(
+                        f"iteration {it + 1} failed "
+                        f"{consecutive_failures} consecutive times; giving up"
+                    )
+                    raise
+                self.log(
+                    f"iteration {it + 1} failed ({type(e).__name__}: {e}); "
+                    f"self-healing attempt "
+                    f"{consecutive_failures}/{self.max_recovery_retries}"
+                )
+                it = self._self_heal(it)
         self.save_checkpoint("final_model")
         self.writer.flush()
         return last
+
+    def _self_heal(self, it: int) -> int:
+        """Recover from a wedged accelerator backend or a poisoned dispatch
+        mid-run (the tpu5 1000-iter run needed a human `--resume latest` at
+        iter 641; this automates that): drop compiled/backend state, then
+        restore the newest full checkpoint — or, when none exists yet,
+        re-materialize the live state through host memory. Returns the
+        iteration to resume from."""
+        try:
+            jax.clear_caches()
+        except Exception as e:  # noqa: BLE001
+            self.log(f"self-heal: clear_caches failed ({e}); continuing")
+        latest = ckpt_lib.latest_checkpoint(self.checkpoint_dir)
+        if latest is not None:
+            if not self.distributed:
+                # drop the PJRT client so a dead device tunnel reconnects;
+                # in multi-host runs this would tear down the process group,
+                # so there we only clear compiled computations
+                try:
+                    import jax.extend.backend as _backend
+
+                    _backend.clear_backends()
+                except Exception as e:  # noqa: BLE001
+                    self.log(f"self-heal: clear_backends failed ({e})")
+            self.log(f"self-heal: restoring {latest}")
+            self.load_checkpoint(latest)
+            return int(self.state.iteration)
+        # no checkpoint yet: round-trip the live state through host numpy so
+        # every array is re-committed to the (possibly re-created) backend
+        self.log("self-heal: no checkpoint yet; re-materializing live state")
+        snapshot = jax.device_get((self.state, self.buffer, self.rng))
+        if not self.distributed:
+            try:
+                import jax.extend.backend as _backend
+
+                _backend.clear_backends()
+            except Exception as e:  # noqa: BLE001
+                self.log(f"self-heal: clear_backends failed ({e})")
+        self.state, self.buffer, self.rng = jax.device_put(snapshot)
+        return it
+
+    def _train_iteration(
+        self,
+        it: int,
+        episodes: int,
+        num_iterations: int,
+        recent_iter_times: list,
+        recent_losses: list,
+    ) -> Dict[str, float]:
+        """One full training iteration (self-play -> buffer -> SGD steps ->
+        metrics -> gating -> periodic checkpoint). Raising anywhere leaves
+        recovery to ``train``'s self-healing wrapper."""
+        t0 = time.time()
+        traj = self.run_self_play(episodes)
+        jax.block_until_ready(traj.mask)
+        sp_time = time.time() - t0
+
+        if self.prioritized:
+            self.buffer = buffer_lib.add_prioritized(self.buffer, traj)
+        else:
+            self.buffer = buffer_lib.add(self.buffer, traj)
+
+        t1 = time.time()
+        losses = []
+        if buffer_lib.is_ready(self.buffer, self.batch_size):
+            for _ in range(self.epochs_per_iter):
+                self.rng, sub = jax.random.split(self.rng)
+                if self.distributed:
+                    from ..parallel.mesh import to_global_replicated
+
+                    sub = to_global_replicated(sub, self.mesh)
+                if self.prioritized:
+                    self.state, self.buffer, metrics = train_step_prioritized(
+                        self.model,
+                        self.engine,
+                        self.tx,
+                        self.state,
+                        self.buffer,
+                        sub,
+                        batch_size=self.batch_size,
+                        augment=self.augment,
+                        mesh=self.mesh,
+                    )
+                else:
+                    self.state, metrics = train_step(
+                        self.model,
+                        self.engine,
+                        self.tx,
+                        self.state,
+                        self.buffer,
+                        sub,
+                        batch_size=self.batch_size,
+                        augment=self.augment,
+                        mesh=self.mesh,
+                    )
+                losses.append(metrics)
+        jax.block_until_ready(self.state.params)
+        tr_time = time.time() - t1
+
+        new_iter = jnp.int32(it + 1)
+        if self.distributed:
+            from ..parallel.mesh import to_global_replicated
+
+            new_iter = to_global_replicated(new_iter, self.mesh)
+        self.state = self.state.replace(iteration=new_iter)
+        stats = jax.device_get(buffer_lib.statistics(self.buffer))
+        avg = lambda k: (  # noqa: E731
+            float(jnp.mean(jnp.stack([m[k] for m in losses]))) if losses else 0.0
+        )
+        scalars = {
+            "Loss/train": avg("loss"),
+            "Loss/policy": avg("policy_loss"),
+            "Loss/value": avg("value_loss"),
+            "Time/self_play": sp_time,
+            "Time/train": tr_time,
+            "Buffer/size": float(stats["size"]),
+            "Buffer/value_mean": float(stats["value_mean"]),
+            "Buffer/value_std": float(stats["value_std"]),
+            "SelfPlay/avg_moves": float(jnp.mean(traj.num_moves)),
+        }
+        for k, v in scalars.items():
+            self.writer.scalar(k, v, it + 1)
+        self.writer.flush()
+        # console UX: ETA from recent iteration times + loss trend arrow
+        # (reference trainer.py:93-134,165-232)
+        recent_iter_times.append(sp_time + tr_time)
+        del recent_iter_times[:-10]
+        recent_losses.append(scalars["Loss/train"])
+        del recent_losses[:-5]
+        eta = (num_iterations - it - 1) * (
+            sum(recent_iter_times) / len(recent_iter_times)
+        )
+        trend = ""
+        if len(recent_losses) >= 2:
+            trend = " ↓" if recent_losses[-1] < recent_losses[0] else " ↑"
+        self.log(
+            f"iter {it + 1}/{num_iterations} loss={scalars['Loss/train']:.4f}"
+            f"{trend} self_play={sp_time:.1f}s train={tr_time:.1f}s "
+            f"buffer={int(stats['size'])} eta={eta / 60:.1f}m"
+        )
+
+        self.run_gating(it + 1)
+
+        if (it + 1) % self.checkpoint_interval == 0:
+            self.save_checkpoint(f"checkpoint_iter_{it + 1:06d}")
+        return scalars
 
     def close(self) -> None:
         self.writer.close()

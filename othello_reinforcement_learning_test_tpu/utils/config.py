@@ -83,6 +83,10 @@ DEFAULTS: Dict[str, Dict[str, Any]] = {
         # B=4096 on v5e — results/nn_inference_decomposition.md). TPU only
         # except "int8_xla". Training forward/backward is unaffected.
         "self_play_net_variant": "xla",
+        # self-healing training: max consecutive iteration failures the
+        # trainer absorbs (clear backend -> resume latest checkpoint ->
+        # retry) before re-raising. 0 disables recovery.
+        "max_recovery_retries": 3,
     },
 }
 

@@ -275,3 +275,74 @@ def test_config_validation_rejects_bad():
     bad["training"]["batch_size"] = 0
     with pytest.raises(ValueError):
         _validate(bad)
+
+
+class TestSelfHealing:
+    """VERDICT r2 item 4: a training run survives a wedged backend/dispatch
+    unattended — catch, re-init the backend, reload the newest checkpoint,
+    continue (bounded retries)."""
+
+    def _cfg(self, tmp_path):
+        cfg = load_config(
+            os.path.join(os.path.dirname(__file__), "..", "configs", "test.yaml")
+        )
+        cfg["training"].update(
+            self_play_episodes_per_iter=2, num_iterations=2,
+            checkpoint_interval=1, batch_size=8,
+        )
+        cfg["model"].update(num_blocks=1, num_filters=8)
+        cfg["mcts"]["num_simulations"] = 4
+        cfg["paths"]["checkpoint_dir"] = str(tmp_path / "models")
+        cfg["paths"]["log_dir"] = str(tmp_path / "logs")
+        return cfg
+
+    def test_recovers_from_transient_fault(self, tmp_path, monkeypatch):
+        trainer = AlphaZeroTrainer(self._cfg(tmp_path), log_cb=None)
+        calls = {"n": 0}
+        orig = trainer.run_self_play
+
+        def flaky(episodes, **kw):
+            calls["n"] += 1
+            if calls["n"] == 2:  # wedge on iteration 2, after a checkpoint
+                raise RuntimeError("injected backend wedge")
+            return orig(episodes, **kw)
+
+        monkeypatch.setattr(trainer, "run_self_play", flaky)
+        metrics = trainer.train()
+        assert int(trainer.state.iteration) == 2
+        assert calls["n"] == 3  # iter1 ok, iter2 wedged, iter2 retried
+        assert metrics["Loss/train"] > 0
+        assert os.path.isdir(os.path.join(trainer.checkpoint_dir, "final_model"))
+
+    def test_recovers_before_first_checkpoint(self, tmp_path, monkeypatch):
+        # fault on the very first iteration: nothing to restore yet, the
+        # live state is re-materialized through host memory and retried
+        trainer = AlphaZeroTrainer(self._cfg(tmp_path), log_cb=None)
+        calls = {"n": 0}
+        orig = trainer.run_self_play
+
+        def flaky(episodes, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected wedge before any checkpoint")
+            return orig(episodes, **kw)
+
+        monkeypatch.setattr(trainer, "run_self_play", flaky)
+        trainer.train()
+        assert int(trainer.state.iteration) == 2
+        assert calls["n"] == 3
+
+    def test_gives_up_after_bounded_retries(self, tmp_path, monkeypatch):
+        cfg = self._cfg(tmp_path)
+        cfg["system"]["max_recovery_retries"] = 2
+        trainer = AlphaZeroTrainer(cfg, log_cb=None)
+        calls = {"n": 0}
+
+        def dead(episodes, **kw):
+            calls["n"] += 1
+            raise RuntimeError("permanently wedged")
+
+        monkeypatch.setattr(trainer, "run_self_play", dead)
+        with pytest.raises(RuntimeError, match="permanently wedged"):
+            trainer.train()
+        assert calls["n"] == 3  # initial try + 2 bounded retries
