@@ -112,7 +112,21 @@ def _compiled_match(eng, p1_fn, p2_fn, num_games: int,
         white_count = jnp.where(final_parity == 0, c_opp, c_me)
         p1_score = jnp.where(p1_black, black_count, white_count)
         p2_score = jnp.where(p1_black, white_count, black_count)
-        return w_p1, p1_score, p2_score, boards.move_count
+        outs = (w_p1, p1_score, p2_score, boards.move_count)
+        if mesh is not None:
+            # gather per-game results to every device so the host transfer
+            # below works in multi-process runs too (a process can only
+            # device_get addressable shards) and every process computes the
+            # identical summary — load-bearing for distributed gating
+            from ..parallel.mesh import replicated
+
+            outs = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, replicated(mesh)
+                ),
+                outs,
+            )
+        return outs
 
     return match
 

@@ -331,12 +331,6 @@ class AlphaZeroTrainer:
                 f"{jax.local_device_count()} local devices -> "
                 f"{jax.device_count()}-device dp mesh"
             )
-            if self.gating_enabled:
-                self.log(
-                    "warning: arena gating is single-process only; disabled "
-                    "for this multi-host run"
-                )
-                self.gating_enabled = False
         elif sc_mesh:
             from ..parallel.mesh import make_mesh
 
@@ -410,19 +404,23 @@ class AlphaZeroTrainer:
         /root/reference/src/train/trainer.py:387-404)."""
         path = os.path.join(self.checkpoint_dir, name)
         rng = self.rng
+        best = self.best_variables
         if self.distributed:
             # orbax multi-host serialization requires global arrays; the host
-            # RNG key is the one process-local leaf in the composite
+            # RNG key (and the gating best-network before its first adoption)
+            # are the process-local leaves in the composite
             from ..parallel.mesh import to_global_replicated
 
             rng = to_global_replicated(rng, self.mesh)
+            if best is not None:
+                best = to_global_replicated(jax.device_get(best), self.mesh)
         ckpt_lib.save_full(
             path,
             train_state=self.state,
             buffer=self.buffer,
             rng=rng,
             config=self.config,
-            best=self.best_variables,
+            best=best,
         )
         return path
 
@@ -557,15 +555,34 @@ class AlphaZeroTrainer:
         from ..evaluation.arena import Arena
         from ..evaluation.players import MCTSPlayer
 
+        cand_vars, best_vars = self.variables(), self.best_variables
+        if self.distributed:
+            # every input to the mesh-spanning match program must be a
+            # global array; best_variables may still be the host-local init
+            # copy, so lift both through host memory (identical on every
+            # process by determinism)
+            from ..parallel.mesh import to_global_replicated
+
+            cand_vars = to_global_replicated(
+                jax.device_get(cand_vars), self.mesh
+            )
+            best_vars = to_global_replicated(
+                jax.device_get(best_vars), self.mesh
+            )
+            rng = to_global_replicated(jax.device_get(rng), self.mesh)
         candidate = MCTSPlayer(
-            self.engine, self._apply_selfplay, self.variables(),
+            self.engine, self._apply_selfplay, cand_vars,
             num_simulations=self.gating_sims, c_puct=self.c_puct,
         )
         best = MCTSPlayer(
-            self.engine, self._apply_selfplay, self.best_variables,
+            self.engine, self._apply_selfplay, best_vars,
             num_simulations=self.gating_sims, c_puct=self.c_puct,
         )
-        arena = Arena(self.engine)
+        # with a mesh the gate match shards its games across all devices
+        # (multi-host included) and the match results are gathered to every
+        # process, so the ADOPT/REJECT decision is computed identically
+        # everywhere — no coordinator round needed
+        arena = Arena(self.engine, mesh=self.mesh)
         s = arena.play_matches(
             candidate, best, self.gating_games, rng,
             opening_random_plies=self.gating_opening,

@@ -77,3 +77,18 @@ def test_two_process_trainer_iteration(tmp_path):
     assert results[0]["iteration"] == 1
     assert results[0]["buffer_filled"] > 0
     assert results[0]["buffer_filled"] == results[1]["buffer_filled"]
+
+
+@pytest.mark.slow
+def test_two_process_gating_identical_decision(tmp_path):
+    """Multi-host arena gating: the gate match runs sharded over the global
+    mesh and every process must compute the identical win rate and the
+    identical ADOPT/REJECT decision (VERDICT r2 item 5)."""
+    results = run_pair("gate", tmp_path, timeout=560)
+    a, b = results
+    assert a["decision"] == b["decision"]
+    assert a["win_rate"] == b["win_rate"]
+    assert (a["wins"], a["losses"], a["draws"]) == (
+        b["wins"], b["losses"], b["draws"])
+    assert a["wins"] + a["losses"] + a["draws"] == 8
+    assert a["best_digest"] == b["best_digest"]
