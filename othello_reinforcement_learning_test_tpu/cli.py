@@ -141,6 +141,18 @@ def eval_command(args) -> None:
             )
         except Exception as e:  # noqa: BLE001 — no compiler / non-8x8
             print(f"minimax opponent unavailable: {e}")
+    if args.edax:
+        from .evaluation import EdaxPlayer
+
+        binary = None if args.edax == "auto" else args.edax
+        edax = EdaxPlayer(
+            engine, binary_path=binary, level=args.edax_level,
+            args=args.edax_args,
+        )
+        if edax.binary is None:
+            print("edax binary not found ($EDAX_BINARY / PATH); skipping")
+        else:
+            opponents.append(edax)
     results_summary = {}
     for opponent in opponents:
         rng, sub = jax.random.split(rng)
@@ -318,6 +330,14 @@ def build_parser() -> argparse.ArgumentParser:
     p_eval.add_argument("--minimax-depth", type=int, default=0,
                         help="also evaluate vs the native C++ alpha-beta "
                              "anchor at this depth (0 = off)")
+    p_eval.add_argument("--edax", nargs="?", const="auto", default=None,
+                        metavar="BINARY",
+                        help="add an Edax opponent; optional binary path "
+                             "(default: $EDAX_BINARY or 'edax' on PATH)")
+    p_eval.add_argument("--edax-level", type=int, default=5)
+    p_eval.add_argument("--edax-args", type=str, default=None,
+                        help="override the engine argv (shlex-split), e.g. "
+                             "'-q --level 21 -book-usage off'")
     p_eval.add_argument("--opening-random-plies", type=int, default=0,
                         help="randomize the first k plies (game diversity "
                              "between deterministic players)")

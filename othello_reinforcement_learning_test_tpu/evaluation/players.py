@@ -335,9 +335,24 @@ class EdaxPlayer(_HostCallbackPlayer):
     - ``quit`` — terminate.
 
     ``binary_path`` (or ``$EDAX_BINARY``, or ``edax`` on PATH) selects the
-    engine; a checked-in fake speaking the same protocol drives the tests
-    (``tests/fake_edax.py``). When no binary is found, play falls back to
-    uniform random and the player name says so, as in round 1.
+    engine; checked-in fakes speaking this protocol and a variant dialect
+    drive the tests (``tests/fake_edax.py``, ``tests/fake_edax_variant.py``).
+    When no binary is found, play falls back to uniform random and the
+    player name says so, as in round 1.
+
+    **Version/dialect assumptions** (no real Edax binary ships in this
+    image, so these are encoded assumptions, configurable rather than
+    hard-coded): the default flags ``-q -level N`` and the
+    ``... plays <MOVE>`` reply line target the Edax 4.x console UI
+    (`mode 2`-style play against stdin commands). Installations that differ
+    can override both without code changes:
+
+    - ``args=[...]`` / ``$EDAX_ARGS`` (shlex-split) replaces the full
+      argument vector, e.g. ``-q --level 21 -book-usage off``;
+    - ``reply_pattern=...`` / ``$EDAX_REPLY_PATTERN`` replaces the reply
+      regex; group 1 must capture the move token. The built-in default
+      already tolerates common variants: ``Edax plays D3``, ``move d3``,
+      ``bestmove D3``, and ``PS``/``pass`` for passes.
 
     Batched boards are served one game at a time on the host behind
     ``jax.experimental.io_callback``, so the player still composes with the
@@ -346,8 +361,15 @@ class EdaxPlayer(_HostCallbackPlayer):
     action (never crashes a match).
     """
 
+    DEFAULT_REPLY_PATTERN = (
+        r"(?:plays|moves?|bestmove)\s+([A-Ha-h][1-8]|PS|pass)"
+    )
+
     def __init__(self, engine: OthelloEngine, binary_path: Optional[str] = None,
-                 level: int = 5):
+                 level: int = 5, args: Optional[list] = None,
+                 reply_pattern: Optional[str] = None):
+        import re
+        import shlex
         import shutil
 
         self.engine = engine
@@ -356,6 +378,19 @@ class EdaxPlayer(_HostCallbackPlayer):
             binary_path
             or os.environ.get("EDAX_BINARY")
             or shutil.which("edax")
+        )
+        if args is None:
+            env_args = os.environ.get("EDAX_ARGS")
+            args = (shlex.split(env_args) if env_args
+                    else ["-q", "-level", str(self.level)])
+        elif isinstance(args, str):
+            args = shlex.split(args)
+        self.args = list(args)
+        self._move_re = re.compile(
+            reply_pattern
+            or os.environ.get("EDAX_REPLY_PATTERN")
+            or self.DEFAULT_REPLY_PATTERN,
+            re.IGNORECASE,
         )
         self._proc = None
         if self.binary and os.path.exists(self.binary):
@@ -377,7 +412,7 @@ class EdaxPlayer(_HostCallbackPlayer):
         if self._proc is not None and self._proc.poll() is None:
             return self._proc
         self._proc = subprocess.Popen(
-            [self.binary, "-q", "-level", str(self.level)],
+            [self.binary, *self.args],
             stdin=subprocess.PIPE,
             stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL,
@@ -422,16 +457,8 @@ class EdaxPlayer(_HostCallbackPlayer):
 
     reset = close  # new session -> fresh engine state
 
-    _MOVE_RE = None
-
     def _query_move(self, cells: str, turn: str) -> Optional[int]:
         """One setboard/go round-trip -> action index or None on failure."""
-        import re
-
-        if EdaxPlayer._MOVE_RE is None:
-            EdaxPlayer._MOVE_RE = re.compile(
-                r"plays\s+([A-Ha-h][1-8]|PS|pass)", re.IGNORECASE
-            )
         try:
             proc = self._ensure_proc()
             proc.stdin.write(f"setboard {cells} {turn}\ngo\n")
@@ -440,7 +467,7 @@ class EdaxPlayer(_HostCallbackPlayer):
                 line = self._readline()
                 if line is None:
                     return None
-                m = EdaxPlayer._MOVE_RE.search(line)
+                m = self._move_re.search(line)
                 if m:
                     tok = m.group(1).upper()
                     if tok in ("PS", "PASS"):

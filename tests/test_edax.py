@@ -121,3 +121,67 @@ def test_env_var_discovery(engine, fake_edax, monkeypatch):
     p = EdaxPlayer(engine)
     assert p.binary == fake_edax
     p.close()
+
+
+VARIANT = os.path.join(os.path.dirname(__file__), "fake_edax_variant.py")
+
+
+@pytest.fixture(scope="module")
+def fake_edax_variant():
+    st = os.stat(VARIANT)
+    os.chmod(VARIANT, st.st_mode | stat.S_IXUSR | stat.S_IXGRP | stat.S_IXOTH)
+    return VARIANT
+
+
+def test_variant_dialect_parsed(engine, fake_edax_variant):
+    """A second engine dialect — banner noise, 'thinking...' chatter, and
+    lowercase 'move d3' / 'move pass' replies — drives the same adapter
+    without configuration (the default reply pattern tolerates it)."""
+    p = EdaxPlayer(engine, binary_path=fake_edax_variant)
+    boards = engine.initial_state((2,))
+    a = np.asarray(p.act(jax.random.PRNGKey(0), boards))
+    assert (a == 19).all()  # same first-legal-move policy as fake_edax
+    p.close()
+
+
+def test_variant_dialect_full_plies(engine, fake_edax_variant):
+    p = EdaxPlayer(engine, binary_path=fake_edax_variant)
+    boards = engine.initial_state((1,))
+    for _ in range(4):
+        legal = engine.legal_actions(boards)
+        a = p.act(jax.random.PRNGKey(0), boards)
+        assert bool(legal[0, int(a[0])])
+        boards, ok = engine.step(boards, a)
+        assert bool(ok[0])
+    p.close()
+
+
+def test_custom_args_and_reply_pattern(engine, fake_edax, monkeypatch):
+    """args= replaces the full argv (fakes ignore argv, so we assert via the
+    spawned process's cmdline) and reply_pattern= replaces the parser."""
+    p = EdaxPlayer(engine, binary_path=fake_edax,
+                   args=["--custom-flag", "off"],
+                   reply_pattern=r"plays\s+([A-Ha-h][1-8]|PS)")
+    boards = engine.initial_state((1,))
+    a = p.act(jax.random.PRNGKey(0), boards)
+    assert int(a[0]) == 19
+    assert p._proc.args[1:] == ["--custom-flag", "off"]
+    p.close()
+
+    # env-var form (shlex split)
+    monkeypatch.setenv("EDAX_ARGS", "-q --level 21")
+    p2 = EdaxPlayer(engine, binary_path=fake_edax)
+    assert p2.args == ["-q", "--level", "21"]
+    p2.close()
+
+
+def test_unmatchable_pattern_falls_back_legal(engine, fake_edax):
+    """A reply pattern that never matches must not crash: the adapter falls
+    back to the first legal action for each board."""
+    p = EdaxPlayer(engine, binary_path=fake_edax,
+                   reply_pattern=r"NEVERMATCHES(x)")
+    boards = engine.initial_state((1,))
+    legal = engine.legal_actions(boards)
+    a = p.act(jax.random.PRNGKey(0), boards)
+    assert bool(legal[0, int(a[0])])
+    p.close()
