@@ -137,23 +137,33 @@ def _blend_at(arr: jnp.ndarray, pos: jnp.ndarray, val: jnp.ndarray,
     return jnp.where(mask, val[:, None], arr)
 
 
-def _puct_scores(tree: Tree, mask: jnp.ndarray, c_puct: float) -> jnp.ndarray:
-    """(B, A) selection scores at the masked node — canonical AlphaZero PUCT.
+def _puct_best(tree: Tree, c_puct: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-node best PUCT action and its child index, for EVERY node at once:
+    (B, N) ``act_star`` / ``child_star`` (NO_CHILD where unexpanded).
 
-    Row reads only (edge stats live at the parent)."""
-    c_visit = _take(tree.child_visit, mask)
-    c_sum = _take(tree.child_value_sum, mask)
+    The tree is immutable during one selection pass (no virtual loss in the
+    one-leaf-per-simulation design), so the PUCT argmax at each node is a
+    loop invariant — computing it densely up front turns the walk loop's
+    per-iteration reads from five (B, N, A) tensors into two (B, N) ones
+    (~65x fewer bytes per iteration; the canonical scores formula itself is
+    unchanged, so selection is bit-identical)."""
+    c_visit = tree.child_visit
     # edge values are stored from the child's own (opponent) perspective
-    q = jnp.where(c_visit > 0, -c_sum / jnp.maximum(c_visit, 1), 0.0)
-    visit = _take(tree.visit, mask).astype(jnp.float32)
+    q = jnp.where(c_visit > 0,
+                  -tree.child_value_sum / jnp.maximum(c_visit, 1), 0.0)
+    visit = tree.visit.astype(jnp.float32)
     u = (
         c_puct
-        * _take(tree.prior, mask)
-        * jnp.sqrt(jnp.maximum(visit, 1.0))[:, None]
+        * tree.prior
+        * jnp.sqrt(jnp.maximum(visit, 1.0))[:, :, None]
         / (1.0 + c_visit.astype(jnp.float32))
     )
-    scores = q + u
-    return jnp.where(_take(tree.legal, mask), scores, -jnp.inf)
+    scores = jnp.where(tree.legal, q + u, -jnp.inf)
+    act_star = jnp.argmax(scores, axis=-1).astype(jnp.int32)  # (B, N)
+    A = tree.prior.shape[-1]
+    oh = jnp.arange(A, dtype=jnp.int32)[None, None, :] == act_star[:, :, None]
+    child_star = jnp.sum(jnp.where(oh, tree.children, 0), axis=-1)
+    return act_star, child_star
 
 
 def _select(tree: Tree, c_puct: float) -> _Selection:
@@ -162,6 +172,7 @@ def _select(tree: Tree, c_puct: float) -> _Selection:
     B, n_slots = tree.visit.shape
     path0 = jnp.full((B, n_slots), -1, jnp.int32).at[:, 0].set(0)
     pact0 = jnp.full((B, n_slots), -1, jnp.int32)
+    act_star, child_star = _puct_best(tree, c_puct)
 
     def cond(carry):
         node, action, path, pact, depth, stop_term = carry
@@ -171,9 +182,8 @@ def _select(tree: Tree, c_puct: float) -> _Selection:
         node, action, path, pact, depth, stop_term = carry
         walking = ~stop_term & (action == NO_CHILD)
         mask = _node_mask(node, n_slots)
-        scores = _puct_scores(tree, mask, c_puct)
-        act = jnp.argmax(scores, axis=-1).astype(jnp.int32)
-        child = _take_lane(_take(tree.children, mask), act)
+        act = _take(act_star, mask)
+        child = _take(child_star, mask)
         descend = walking & (child != NO_CHILD)
         # the edge taken from this node (recorded for per-edge backup; the
         # final unexpanded edge is recorded by the caller after expansion)
@@ -270,32 +280,37 @@ def _expand_and_backup(
                        jnp.where(parity == 0, leaf_value[:, None],
                                  -leaf_value[:, None]), 0.0)
     safe = jnp.where(on_path, path, 0)
-    # (B, P, N): position p holds the one-hot of the node at that depth
+    # (B, P, N): position p holds the one-hot of the node at that depth.
+    # A node appears AT MOST ONCE on a path, so every "sum over p" below
+    # selects a single element — exact in plain f32 elementwise reduces, no
+    # MXU/HIGHEST einsum needed (the (B,P,N)x(B,P,A) outer-product einsums
+    # this replaced were 4x the whole remaining sim-step cost: 323 us/sim of
+    # padded tiny batched matmuls + dtype relayouts, results/mcts_dense_tree.md).
     node_oh = (safe[:, :, None] == idx[:, None, :]) & on_path[:, :, None]
-    node_f = node_oh.astype(jnp.float32)
     visit = tree.visit + node_oh.astype(jnp.int32).sum(axis=1)
-    value_sum = tree.value_sum + jnp.einsum(
-        "bpn,bp->bn", node_f, signed,
-        precision=jax.lax.Precision.HIGHEST)
+    value_sum = tree.value_sum + jnp.sum(
+        node_oh * signed[:, :, None], axis=1)
     # per-edge stats: edge (path[i], pact[i]) leads to path[i+1]; it stores
-    # the value from the CHILD's perspective (signed at depth i+1)
+    # the value from the CHILD's perspective (signed at depth i+1).
+    # Instead of scattering (node, action) pairs into (B, N, A), compute per
+    # NODE the action taken from it on this path and the child-signed value
+    # ((B, N) reduces), then blend with an elementwise lane one-hot.
     on_edge = idx < (path_len - 1)[:, None]
     child_signed = jnp.where(
         on_edge,
         jnp.where((path_len[:, None] - 2 - idx) % 2 == 0, leaf_value[:, None],
                   -leaf_value[:, None]), 0.0)
-    e_node_f = (node_oh & on_edge[:, :, None]).astype(jnp.float32)
+    e_oh = node_oh & on_edge[:, :, None]  # (B, P, N)
     act_safe = jnp.where(on_edge, pact, 0)
-    act_oh = ((act_safe[:, :, None] == jnp.arange(A)[None, None, :])
-              & on_edge[:, :, None]).astype(jnp.float32)
-    # 0/1 products are exact at any matmul precision; the VALUE einsums
-    # need HIGHEST or the MXU truncates f32 leaf values to bf16 on TPU
-    # (the scatter-adds they replaced were exact f32)
-    child_visit = tree.child_visit + jnp.einsum(
-        "bpn,bpa->bna", e_node_f, act_oh).astype(jnp.int32)
-    child_value_sum = tree.child_value_sum + jnp.einsum(
-        "bpn,bpa->bna", e_node_f * child_signed[:, :, None], act_oh,
-        precision=jax.lax.Precision.HIGHEST)
+    act_from = jnp.sum(e_oh * act_safe[:, :, None], axis=1)  # (B, N) int32
+    csigned = jnp.sum(e_oh * child_signed[:, :, None], axis=1)  # (B, N) f32
+    edge_on = jnp.any(e_oh, axis=1)  # (B, N) — node has an out-edge on path
+    edge_mask = edge_on[:, :, None] & (
+        jnp.arange(A, dtype=jnp.int32)[None, None, :] == act_from[:, :, None]
+    )  # (B, N, A)
+    child_visit = tree.child_visit + edge_mask.astype(jnp.int32)
+    child_value_sum = tree.child_value_sum + jnp.where(
+        edge_mask, csigned[:, :, None], 0.0)
     return tree.replace(
         visit=visit,
         value_sum=value_sum,

@@ -72,6 +72,7 @@ def test_eval_survives_failing_opponent(test_checkpoint, monkeypatch, capsys):
         checkpoint=test_checkpoint, games=2, simulations=2, seed=0,
         minimax_depth=0, opening_random_plies=0, device="cpu",
         verbose=False, save_results=False,
+        edax=None, edax_level=5, edax_args=None,
     )
     cli.eval_command(args)  # must not raise
     out = capsys.readouterr().out
