@@ -253,7 +253,8 @@ def main() -> None:
     parser.add_argument("--size", type=int, default=8)
     parser.add_argument("--simulations", type=int, default=25)
     parser.add_argument("--net-variant", default="xla",
-                        choices=["xla", "matmul9", "int8", "int8_xla"],
+                        choices=["xla", "matmul9", "int8", "int8_dx3",
+                                 "int8_xla"],
                         help="mcts mode: network inference path (xla bf16, "
                              "fused Pallas bf16 trunk, fused Pallas int8)")
     parser.add_argument("--blocks", type=int, default=10)
