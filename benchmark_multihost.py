@@ -39,7 +39,8 @@ def _free_port() -> int:
 
 
 def worker(pid: int, nprocs: int, port: int, outdir: str, games: int,
-           sims: int, blocks: int, filters: int) -> None:
+           sims: int, blocks: int, filters: int,
+           cond_interval: int) -> None:
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     # Weak scaling needs CONSTANT resources per process. A JAX CPU process
     # spawns a whole-machine thread pool, so N co-located workers
@@ -89,6 +90,7 @@ def worker(pid: int, nprocs: int, port: int, outdir: str, games: int,
         traj = play_games(
             engine, apply_eval(model), variables, rng,
             num_games=total_games, num_simulations=sims, mesh=mesh,
+            cond_interval=cond_interval,
         )
         return int(jax.device_get(traj.num_moves.sum()))
 
@@ -114,7 +116,8 @@ def measure_once(nprocs: int, args, outdir: str) -> dict:
             [sys.executable, os.path.abspath(__file__), "--worker",
              str(pid), str(nprocs), str(port), outdir,
              str(args.games_per_process), str(args.simulations),
-             str(args.blocks), str(args.filters)],
+             str(args.blocks), str(args.filters),
+             str(args.cond_interval)],
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         for pid in range(nprocs)
@@ -148,15 +151,20 @@ def main() -> None:
     parser.add_argument("--timeout", type=int, default=1200)
     parser.add_argument("--repeats", type=int, default=3,
                         help="runs per N; the median throughput is used")
-    parser.add_argument("--worker", nargs=8, default=None,
+    parser.add_argument("--cond-interval", type=int, default=1,
+                        help="check the lockstep liveness conds every k "
+                             "iterations (bit-identical results; trades "
+                             "<=k-1 no-op sweeps for ~k x fewer scalar "
+                             "all-reduce rounds)")
+    parser.add_argument("--worker", nargs=9, default=None,
                         help="(internal) pid nprocs port outdir games sims "
-                             "blocks filters")
+                             "blocks filters cond_interval")
     args = parser.parse_args()
 
     if args.worker:
         w = args.worker
         worker(int(w[0]), int(w[1]), int(w[2]), w[3], int(w[4]), int(w[5]),
-               int(w[6]), int(w[7]))
+               int(w[6]), int(w[7]), int(w[8]))
         return
 
     results = {}

@@ -166,9 +166,19 @@ def _puct_best(tree: Tree, c_puct: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return act_star, child_star
 
 
-def _select(tree: Tree, c_puct: float) -> _Selection:
+def _select(tree: Tree, c_puct: float, cond_interval: int = 1) -> _Selection:
     """Walk every game from its root via PUCT until an unexpanded edge or a
-    terminal node, in lockstep (the loop runs max-depth-over-batch times)."""
+    terminal node, in lockstep (the loop runs max-depth-over-batch times).
+
+    ``cond_interval`` (static): evaluate the lockstep liveness cond — a
+    scalar cross-shard all-reduce under a dp mesh — once every k walk steps
+    instead of every step. The body is a masked no-op for finished walkers
+    (every update is gated on ``walking``), so extra trailing iterations
+    change nothing: results are bit-identical to k=1
+    (tests/test_self_play.py::test_cond_interval_bit_identical). On
+    latency-bound transports (Gloo/DCN) this trades <= k-1 no-op VPU sweeps
+    for ~k x fewer synchronization rounds; measured in
+    results/multihost_scaling.md."""
     B, n_slots = tree.visit.shape
     path0 = jnp.full((B, n_slots), -1, jnp.int32).at[:, 0].set(0)
     pact0 = jnp.full((B, n_slots), -1, jnp.int32)
@@ -197,6 +207,13 @@ def _select(tree: Tree, c_puct: float) -> _Selection:
         # (action reset to NO_CHILD); otherwise we found the edge to expand
         action = jnp.where(walking, jnp.where(descend, NO_CHILD, act), action)
         return nxt, action, path, pact, depth2, stop_term
+
+    if cond_interval > 1:
+        inner = body
+
+        def body(carry):  # noqa: F811 — k sub-steps per cond evaluation
+            return jax.lax.fori_loop(
+                0, cond_interval, lambda _, c: inner(c), carry)
 
     node0 = jnp.zeros((B,), jnp.int32)
     node, action, path, pact, depth, stop_term = jax.lax.while_loop(
@@ -362,11 +379,14 @@ def search(
     dirichlet_alpha: float = 0.3,
     dirichlet_epsilon: float = 0.25,
     add_noise: bool = False,
+    cond_interval: int = 1,
 ) -> SearchResult:
     """Run batched MCTS from a batch of root boards.
 
     ``apply_fn``: (B, S, S, 3) -> (log_probs (B, A), value (B, 1)); typically
-    a closure over network variables in eval mode.
+    a closure over network variables in eval mode. ``cond_interval`` (static)
+    decimates the select walk's liveness cond (see ``_select``); results are
+    bit-identical for any k.
     """
     num_actions = engine.num_actions
     n_slots = num_simulations + 1
@@ -391,7 +411,7 @@ def search(
 
     def sim_body(_, carry):
         tree, rng = carry
-        sel = _select(tree, c_puct)
+        sel = _select(tree, c_puct, cond_interval=cond_interval)
 
         m_parent = _node_mask(sel.parent, n_slots)
         parent_board = Board(

@@ -64,6 +64,7 @@ def max_game_length(size: int) -> int:
         "temperature_threshold",
         "add_noise",
         "mesh",
+        "cond_interval",
     ),
 )
 def play_games(
@@ -79,12 +80,25 @@ def play_games(
     temperature_threshold: int = 15,
     add_noise: bool = True,
     mesh=None,
+    cond_interval: int = 1,
 ) -> Trajectory:
     """Play ``num_games`` complete games in lockstep; fully jitted.
 
     ``apply_fn(variables, x) -> (log_probs, value)`` must be a stable
     (hashable) function — e.g. a module-level wrapper over ``model.apply`` —
     so jit caches across calls while ``variables`` stays a traced pytree.
+
+    ``cond_interval`` (static, default 1): evaluate the lockstep liveness
+    conds — the outer game loop's ``live.any()`` here and the PUCT walk cond
+    inside the search, each a scalar cross-shard all-reduce under a dp
+    mesh — once every k iterations instead of every iteration. The loop
+    bodies are masked no-ops for finished games (trajectory writes and board
+    updates are gated on ``live``; out-of-range ``t`` scatters drop), so the
+    result is bit-identical for any k; only up to k-1 trailing no-op
+    iterations of wasted compute are added per loop. Useful when the
+    transport's small-message latency dominates (Gloo/DCN) — measured in
+    results/multihost_scaling.md; on ICI the conds are us-cheap and k=1 is
+    fine.
     """
     B = num_games
     net = lambda x: apply_fn(variables, x)  # noqa: E731
@@ -128,6 +142,7 @@ def play_games(
             dirichlet_alpha=dirichlet_alpha,
             dirichlet_epsilon=dirichlet_epsilon,
             add_noise=add_noise,
+            cond_interval=cond_interval,
         )
         # liveness comes for free from the search's root observation (the
         # separate is_terminal flood this replaced cost 2 extra flood passes)
@@ -161,6 +176,13 @@ def play_games(
             boards,
         )
         return boards, live.any(), rng, t_me, t_opp, t_pi, t_par, t_mask, t + 1
+
+    if cond_interval > 1:
+        inner = body
+
+        def body(carry):  # noqa: F811 — k moves per liveness check
+            return jax.lax.fori_loop(
+                0, cond_interval, lambda _, c: inner(c), carry)
 
     boards, _, _, t_me, t_opp, t_pi, t_par, t_mask, _ = jax.lax.while_loop(
         cond,

@@ -313,6 +313,11 @@ class AlphaZeroTrainer:
         # this many games; None/0 = all episodes in one batch (fastest).
         npg = spc.get("num_parallel_games")
         self.num_parallel_games = int(npg) if npg else None
+        # liveness-cond decimation (self_play.cond_interval, default 1):
+        # check the lockstep loops' scalar conds every k iterations —
+        # bit-identical results, ~k x fewer cross-shard sync rounds; worth
+        # raising on latency-bound transports (see train/self_play.py)
+        self.cond_interval = int(spc.get("cond_interval") or 1)
 
         sc_mesh = sc.get("mesh_devices")
         self.mesh = None
@@ -516,6 +521,7 @@ class AlphaZeroTrainer:
                 dirichlet_epsilon=self.dirichlet_epsilon,
                 temperature_threshold=self.temperature_threshold,
                 add_noise=add_noise,
+                cond_interval=self.cond_interval,
             )
             return global_from_local_leading(
                 jax.device_get(traj_local), self.mesh
@@ -540,6 +546,7 @@ class AlphaZeroTrainer:
                     temperature_threshold=self.temperature_threshold,
                     add_noise=add_noise,
                     mesh=self.mesh,
+                    cond_interval=self.cond_interval,
                 )
             )
             remaining -= n

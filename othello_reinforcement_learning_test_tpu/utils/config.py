@@ -63,6 +63,11 @@ DEFAULTS: Dict[str, Dict[str, Any]] = {
         # self-play runs in chunks of at most this many games per jitted
         # batch. None = all episodes in one batch (fastest on TPU).
         "num_parallel_games": None,
+        # evaluate the lockstep loops' liveness conds (scalar cross-shard
+        # all-reduces under a dp mesh) every k iterations instead of every
+        # iteration. Bit-identical results for any k; raise on latency-bound
+        # transports (Gloo/DCN) — measured in results/multihost_scaling.md.
+        "cond_interval": 1,
     },
     "paths": {
         "checkpoint_dir": "data/models",

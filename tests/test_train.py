@@ -130,6 +130,26 @@ class TestSelfPlay:
         np.testing.assert_allclose(sums[mask], 1.0, rtol=1e-4)
         np.testing.assert_allclose(sums[~mask], 0.0, atol=1e-8)
 
+    def test_cond_interval_bit_identical(self, traj):
+        """Liveness-cond decimation (self_play.cond_interval) must not change
+        results: the loop bodies are masked no-ops for finished games, so
+        checking the cond every k=4 iterations is bit-identical to k=1."""
+        eng = get_engine(8)
+        model = OthelloResNet(num_blocks=1, num_filters=8)
+        variables = init_variables(model, jax.random.PRNGKey(0))
+        traj_k4 = play_games(
+            eng,
+            apply_eval(model),
+            variables,
+            jax.random.PRNGKey(1),
+            num_games=4,
+            num_simulations=4,
+            temperature_threshold=10,
+            cond_interval=4,
+        )
+        for a, b in zip(traj, traj_k4):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_values_consistent(self, traj):
         """Step values are ±winner alternating with mover parity, 0 on draws
         (correct-parity version of reference self_play.py:119-133)."""
