@@ -18,7 +18,10 @@ def test_cpu_request_skips_probe():
 
 
 def test_healthy_device_keeps_auto():
-    assert resolve_device("auto", timeout_s=30, probe_code=OK_PROBE,
+    # generous timeout: these healthy-path tests check probe *parsing*;
+    # under a fully loaded box (parallel pytest workers) the subprocess
+    # interpreter alone can take >10s to start
+    assert resolve_device("auto", timeout_s=120, probe_code=OK_PROBE,
                           log=None) == "auto"
 
 
@@ -31,13 +34,14 @@ def test_wedged_device_falls_back_to_cpu():
 
 
 def test_crashing_device_falls_back_to_cpu():
-    assert resolve_device("auto", timeout_s=10, probe_code=CRASH_PROBE,
+    assert resolve_device("auto", timeout_s=120, probe_code=CRASH_PROBE,
                           log=None) == "cpu"
 
 
 def test_garbage_probe_output_is_failure():
-    assert probe_default_device(timeout_s=10, probe_code=GARBAGE_PROBE) is None
+    assert probe_default_device(timeout_s=120,
+                                probe_code=GARBAGE_PROBE) is None
 
 
 def test_probe_reports_platform():
-    assert probe_default_device(timeout_s=10, probe_code=OK_PROBE) == "cpu"
+    assert probe_default_device(timeout_s=120, probe_code=OK_PROBE) == "cpu"
