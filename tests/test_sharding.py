@@ -62,6 +62,32 @@ def test_sharded_selfplay_matches_semantics():
     assert len(shard_devs) == 8
 
 
+def test_sharded_cond_decimation_bit_identical():
+    """The decimated-cond program (self_play.cond_interval > 1) must compile
+    and execute under the dp mesh — where the liveness conds lower to
+    cross-shard all-reduces — and stay bit-identical to the k=1 sharded
+    run (the lever exists FOR meshes; the unsharded identity is covered in
+    tests/test_train.py)."""
+    engine = get_engine(8)
+    model = OthelloResNet(num_blocks=1, num_filters=8)
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    mesh = make_mesh(8)
+    kwargs = dict(
+        num_games=16, num_simulations=2, temperature_threshold=10, mesh=mesh
+    )
+    t_k1 = play_games(
+        engine, apply_eval(model), variables, jax.random.PRNGKey(7), **kwargs
+    )
+    t_k4 = play_games(
+        engine, apply_eval(model), variables, jax.random.PRNGKey(7),
+        cond_interval=4, **kwargs,
+    )
+    for a, b in zip(t_k1, t_k4):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    shard_devs = {s.device for s in t_k4.mask.addressable_shards}
+    assert len(shard_devs) == 8
+
+
 def test_leading_axis_sharding_spec():
     mesh = make_mesh(4)
     s = leading_axis_sharding(mesh, 3)
