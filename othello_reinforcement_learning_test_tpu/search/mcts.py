@@ -175,7 +175,7 @@ def _select(tree: Tree, c_puct: float, cond_interval: int = 1) -> _Selection:
     instead of every step. The body is a masked no-op for finished walkers
     (every update is gated on ``walking``), so extra trailing iterations
     change nothing: results are bit-identical to k=1
-    (tests/test_self_play.py::test_cond_interval_bit_identical). On
+    (tests/test_train.py::TestSelfPlay::test_cond_interval_bit_identical). On
     latency-bound transports (Gloo/DCN) this trades <= k-1 no-op VPU sweeps
     for ~k x fewer synchronization rounds; measured in
     results/multihost_scaling.md."""

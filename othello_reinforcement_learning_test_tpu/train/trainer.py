@@ -321,6 +321,17 @@ class AlphaZeroTrainer:
 
         sc_mesh = sc.get("mesh_devices")
         self.mesh = None
+        # single-process mesh size, kept so _reset_backend can rebuild the
+        # mesh after clear_backends (Device handles die with the client)
+        self._mesh_devices = int(sc_mesh) if sc_mesh else None
+        # self-healing bookkeeping: the last checkpoint THIS run wrote or
+        # resumed from (never an mtime scan of checkpoint_dir, which could
+        # adopt a previous run's final_model in a reused directory), and a
+        # pristine pre-iteration host snapshot used until the first
+        # checkpoint exists (the live state mid-failure may carry a
+        # partially applied iteration)
+        self._heal_ckpt: Optional[str] = None
+        self._pre_iter_snapshot = None
         self.process_count = jax.process_count()
         self.distributed = self.process_count > 1
         self._warned_game_rounding = False
@@ -427,6 +438,10 @@ class AlphaZeroTrainer:
             config=self.config,
             best=best,
         )
+        # this checkpoint is now the self-heal restore point; the pristine
+        # pre-iteration snapshot is no longer needed
+        self._heal_ckpt = path
+        self._pre_iter_snapshot = None
         return path
 
     def load_checkpoint(self, path: str) -> None:
@@ -476,6 +491,8 @@ class AlphaZeroTrainer:
             # (random-init) network: the restored candidate is the best
             # approximation of "best so far" we have
             self.best_variables = self.variables()
+        # a checkpoint this run explicitly loaded is a valid heal target
+        self._heal_ckpt = path
         self.log(f"resumed from {path} at iteration {int(self.state.iteration)}")
 
     # -- main loop ---------------------------------------------------------
@@ -631,74 +648,123 @@ class AlphaZeroTrainer:
         recent_iter_times: list = []
         recent_losses: list = []
         it = start_iter
-        consecutive_failures = 0
+        # the failure streak is keyed to the FAILING iteration, not reset on
+        # success: after a checkpoint rewind the replayed good iterations
+        # would otherwise mask a deterministic fault and livelock the run
+        fail_streak = 0
+        last_failed_it = -1
         while it < num_iterations:
             try:
+                if (self.max_recovery_retries > 0 and not self.distributed
+                        and self._heal_ckpt is None):
+                    # pristine pre-iteration rollback point until the first
+                    # checkpoint lands (a failure can leave a partially
+                    # applied iteration: buffer already extended, some SGD
+                    # epochs already taken — replaying on the live state
+                    # would double-apply them)
+                    self._pre_iter_snapshot = (
+                        it,
+                        jax.device_get(
+                            (self.state, self.buffer, self.rng,
+                             self.best_variables)
+                        ),
+                    )
                 last = self._train_iteration(
                     it, episodes, num_iterations,
                     recent_iter_times, recent_losses,
                 )
                 it += 1
-                consecutive_failures = 0
             except (KeyboardInterrupt, SystemExit):
                 raise
             except Exception as e:  # noqa: BLE001 — backend/dispatch wedges
-                consecutive_failures += 1
-                if consecutive_failures > self.max_recovery_retries:
+                if self.distributed:
+                    # single-host only: a local collective restore while the
+                    # peers sit in training collectives would deadlock the
+                    # fleet — fail fast and let the job scheduler restart
+                    # every process (resume is wired via --resume latest)
                     self.log(
-                        f"iteration {it + 1} failed "
-                        f"{consecutive_failures} consecutive times; giving up"
+                        f"iteration {it + 1} failed in a multi-host run "
+                        f"({type(e).__name__}: {e}); self-healing is "
+                        "single-host only — re-raising"
                     )
                     raise
+                fail_streak = fail_streak + 1 if it == last_failed_it else 1
+                last_failed_it = it
+                if fail_streak > self.max_recovery_retries:
+                    self.log(
+                        f"iteration {it + 1} failed {fail_streak} times; "
+                        "giving up"
+                    )
+                    raise
+                if self._heal_ckpt is None and self._pre_iter_snapshot is None:
+                    raise  # recovery disabled: nothing to roll back to
                 self.log(
                     f"iteration {it + 1} failed ({type(e).__name__}: {e}); "
                     f"self-healing attempt "
-                    f"{consecutive_failures}/{self.max_recovery_retries}"
+                    f"{fail_streak}/{self.max_recovery_retries}"
                 )
                 it = self._self_heal(it)
         self.save_checkpoint("final_model")
         self.writer.flush()
         return last
 
+    def _reset_backend(self) -> None:
+        """Drop the PJRT client so a dead device tunnel reconnects, then
+        rebuild the mesh — its Device handles die with the old client.
+        Single-host only (tearing down the client in a multi-host run would
+        break the process group; train() never heals there)."""
+        try:
+            import jax.extend.backend as _backend
+
+            _backend.clear_backends()
+        except Exception as e:  # noqa: BLE001
+            self.log(f"self-heal: clear_backends failed ({e})")
+        if self.mesh is not None:
+            from ..parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(self._mesh_devices)
+
     def _self_heal(self, it: int) -> int:
         """Recover from a wedged accelerator backend or a poisoned dispatch
         mid-run (the tpu5 1000-iter run needed a human `--resume latest` at
         iter 641; this automates that): drop compiled/backend state, then
-        restore the newest full checkpoint — or, when none exists yet,
-        re-materialize the live state through host memory. Returns the
-        iteration to resume from."""
+        restore the last checkpoint THIS run wrote or loaded — or, before
+        any checkpoint exists, roll back to the pristine pre-iteration host
+        snapshot. Returns the iteration to resume from. Single-host only
+        (train() re-raises in multi-host runs)."""
         try:
             jax.clear_caches()
         except Exception as e:  # noqa: BLE001
             self.log(f"self-heal: clear_caches failed ({e}); continuing")
-        latest = ckpt_lib.latest_checkpoint(self.checkpoint_dir)
-        if latest is not None:
-            if not self.distributed:
-                # drop the PJRT client so a dead device tunnel reconnects;
-                # in multi-host runs this would tear down the process group,
-                # so there we only clear compiled computations
-                try:
-                    import jax.extend.backend as _backend
-
-                    _backend.clear_backends()
-                except Exception as e:  # noqa: BLE001
-                    self.log(f"self-heal: clear_backends failed ({e})")
-            self.log(f"self-heal: restoring {latest}")
-            self.load_checkpoint(latest)
-            return int(self.state.iteration)
-        # no checkpoint yet: round-trip the live state through host numpy so
-        # every array is re-committed to the (possibly re-created) backend
-        self.log("self-heal: no checkpoint yet; re-materializing live state")
-        snapshot = jax.device_get((self.state, self.buffer, self.rng))
-        if not self.distributed:
-            try:
-                import jax.extend.backend as _backend
-
-                _backend.clear_backends()
-            except Exception as e:  # noqa: BLE001
-                self.log(f"self-heal: clear_backends failed ({e})")
-        self.state, self.buffer, self.rng = jax.device_put(snapshot)
-        return it
+        self._reset_backend()
+        if self._heal_ckpt is not None:
+            # never an mtime scan of checkpoint_dir: a reused directory may
+            # hold a previous run's final_model, and restoring that would
+            # silently adopt foreign weights (or end the run instantly)
+            self.log(f"self-heal: restoring {self._heal_ckpt}")
+            self.load_checkpoint(self._heal_ckpt)
+            # orbax restores into the template's shardings, whose Device
+            # handles belong to the torn-down client — the host round-trip
+            # below re-commits everything onto the fresh backend (mixing
+            # clients inside one pytree fails the next jitted step)
+            snapshot = jax.device_get(
+                (self.state, self.buffer, self.rng, self.best_variables)
+            )
+            resume_it = int(self.state.iteration)
+        else:
+            # no checkpoint yet: roll back to the state captured at this
+            # iteration's start (the live state may carry a partially
+            # applied iteration)
+            resume_it, snapshot = self._pre_iter_snapshot
+            self.log(
+                "self-heal: no checkpoint yet; rolling back to the start "
+                f"of iteration {resume_it + 1}"
+            )
+        state, buffer, rng, best = jax.device_put(snapshot)
+        self.state, self.buffer, self.rng = state, buffer, rng
+        if self.gating_enabled:
+            self.best_variables = best
+        return resume_it
 
     def _train_iteration(
         self,

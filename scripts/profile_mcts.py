@@ -72,8 +72,7 @@ def main():
         def one(carry, seed):
             # fold the previous result in so scan iterations can't be CSE'd
             boards = carry
-            res = mcts.search(engine, net, boards, jax.random.PRNGKey(0)
-                              if False else seed,
+            res = mcts.search(engine, net, boards, seed,
                               num_simulations=sims, add_noise=True)
             act = mcts.best_action(res.visit_counts, res.legal)
             nxt, _ = engine.step(boards, act,

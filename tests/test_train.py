@@ -366,3 +366,81 @@ class TestSelfHealing:
         with pytest.raises(RuntimeError, match="permanently wedged"):
             trainer.train()
         assert calls["n"] == 3  # initial try + 2 bounded retries
+
+    def test_deterministic_fault_gives_up_despite_rewind(
+        self, tmp_path, monkeypatch
+    ):
+        """A deterministic fault past the last checkpoint must trip the
+        retry bound, not livelock: the rewind replays good iterations, and
+        if those reset the failure counter the same fault loops forever.
+        The streak is keyed to the failing iteration instead."""
+        cfg = self._cfg(tmp_path)
+        cfg["training"].update(num_iterations=4, checkpoint_interval=2)
+        cfg["system"]["max_recovery_retries"] = 2
+        trainer = AlphaZeroTrainer(cfg, log_cb=None)
+        calls = {"n": 0}
+        orig = trainer.run_self_play
+
+        def flaky(episodes, **kw):
+            calls["n"] += 1
+            if int(trainer.state.iteration) == 3:
+                raise RuntimeError("deterministic fault at iteration 4")
+            return orig(episodes, **kw)
+
+        monkeypatch.setattr(trainer, "run_self_play", flaky)
+        with pytest.raises(RuntimeError, match="deterministic fault"):
+            trainer.train()
+        # 3 good + fail, then 2 heal cycles of (replay iter 3, fail): 8
+        assert calls["n"] == 8
+
+    def test_reused_dir_foreign_checkpoint_not_adopted(
+        self, tmp_path, monkeypatch
+    ):
+        """Healing must restore only checkpoints THIS run wrote or loaded.
+        An mtime scan of a reused checkpoint_dir would adopt a finished
+        previous run's final_model — silently skipping the whole new run."""
+        cfg = self._cfg(tmp_path)
+        AlphaZeroTrainer(cfg, log_cb=None).train()  # run A leaves final_model
+        trainer = AlphaZeroTrainer(cfg, log_cb=None)  # run B, same dir
+        calls = {"n": 0}
+        orig = trainer.run_self_play
+
+        def flaky(episodes, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("transient wedge before any checkpoint")
+            return orig(episodes, **kw)
+
+        monkeypatch.setattr(trainer, "run_self_play", flaky)
+        trainer.train()
+        # B retried from its own pre-iteration snapshot and trained both
+        # iterations itself (adopting A's final_model would leave calls at 1)
+        assert calls["n"] == 3
+        assert int(trainer.state.iteration) == 2
+
+    def test_partial_iteration_rolled_back(self, tmp_path, monkeypatch):
+        """A fault AFTER the buffer add and SGD epochs (injected in
+        run_gating) must roll the half-applied iteration back before the
+        replay — otherwise the trajectory is double-added and the epochs
+        double-applied versus an unfaulted run."""
+        clean = AlphaZeroTrainer(self._cfg(tmp_path / "clean"), log_cb=None)
+        clean.train()
+        expect_added = int(clean.buffer.total_added)
+        expect_step = int(clean.state.step)
+
+        trainer = AlphaZeroTrainer(self._cfg(tmp_path / "fault"), log_cb=None)
+        calls = {"n": 0}
+        orig_gate = trainer.run_gating
+
+        def flaky_gate(iteration):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("wedge after buffer add + epochs")
+            return orig_gate(iteration)
+
+        monkeypatch.setattr(trainer, "run_gating", flaky_gate)
+        trainer.train()
+        assert int(trainer.state.iteration) == 2
+        # identical to the unfaulted run: nothing double-added/applied
+        assert int(trainer.buffer.total_added) == expect_added
+        assert int(trainer.state.step) == expect_step
