@@ -78,6 +78,15 @@ def worker(pid: int, nprocs: int, port: int, outdir: str, games: int,
     from othello_reinforcement_learning_test_tpu.train import play_games
     from othello_reinforcement_learning_test_tpu.train.trainer import apply_eval
 
+    if cond_interval <= 0:  # 0 = auto (same resolution the trainer uses)
+        from othello_reinforcement_learning_test_tpu.train.self_play import (
+            auto_cond_interval,
+        )
+
+        cond_interval = auto_cond_interval()
+        if pid == 0:
+            print(f"cond_interval auto-selected: {cond_interval}", flush=True)
+
     engine = get_engine(8, "reference")
     model = OthelloResNet(num_blocks=blocks, num_filters=filters)
     variables = init_variables(model, jax.random.PRNGKey(0))
@@ -151,11 +160,13 @@ def main() -> None:
     parser.add_argument("--timeout", type=int, default=1200)
     parser.add_argument("--repeats", type=int, default=3,
                         help="runs per N; the median throughput is used")
-    parser.add_argument("--cond-interval", type=int, default=1,
+    parser.add_argument("--cond-interval", type=int, default=0,
                         help="check the lockstep liveness conds every k "
                              "iterations (bit-identical results; trades "
                              "<=k-1 no-op sweeps for ~k x fewer scalar "
-                             "all-reduce rounds)")
+                             "all-reduce rounds). 0 = auto: the transport-"
+                             "aware default the trainer uses (k=4 on "
+                             "multi-process non-TPU, else 1)")
     parser.add_argument("--worker", nargs=9, default=None,
                         help="(internal) pid nprocs port outdir games sims "
                              "blocks filters cond_interval")

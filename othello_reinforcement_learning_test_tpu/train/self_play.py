@@ -54,6 +54,26 @@ def max_game_length(size: int) -> int:
     return 2 * size * size + 4
 
 
+def auto_cond_interval(process_count: int = None, platform: str = None) -> int:
+    """Transport-aware default for ``cond_interval`` (used when the config
+    leaves ``self_play.cond_interval`` unset / "auto").
+
+    k=1 single-process and on TPU meshes: the lockstep liveness conds ride
+    ICI and cost microseconds, so decimation buys nothing. k=4 on
+    multi-process non-TPU transports (Gloo over TCP, DCN), where each cond
+    is a latency-bound scalar all-reduce: measured +15.4% self-play
+    throughput at N=4 processes on the CPU/Gloo harness, bit-identical
+    results for any k (results/multihost_scaling.md). The config key
+    remains an explicit override."""
+    if process_count is None:
+        process_count = jax.process_count()
+    if platform is None:
+        platform = jax.devices()[0].platform
+    if process_count <= 1 or platform == "tpu":
+        return 1
+    return 4
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -313,11 +313,26 @@ class AlphaZeroTrainer:
         # this many games; None/0 = all episodes in one batch (fastest).
         npg = spc.get("num_parallel_games")
         self.num_parallel_games = int(npg) if npg else None
-        # liveness-cond decimation (self_play.cond_interval, default 1):
-        # check the lockstep loops' scalar conds every k iterations —
-        # bit-identical results, ~k x fewer cross-shard sync rounds; worth
-        # raising on latency-bound transports (see train/self_play.py)
-        self.cond_interval = int(spc.get("cond_interval") or 1)
+        # liveness-cond decimation (self_play.cond_interval): check the
+        # lockstep loops' scalar conds every k iterations — bit-identical
+        # results, ~k x fewer cross-shard sync rounds. Unset/"auto" picks
+        # the measured winner per transport (k=4 on multi-process non-TPU
+        # where the conds are latency-bound, else k=1 — see
+        # train/self_play.py:auto_cond_interval); an explicit int overrides.
+        ci = spc.get("cond_interval")
+        if ci in (None, 0, "auto"):
+            from .self_play import auto_cond_interval
+
+            self.cond_interval = auto_cond_interval()
+            if self.cond_interval > 1:
+                self.log(
+                    f"self_play.cond_interval auto-selected: "
+                    f"{self.cond_interval} (multi-process "
+                    f"{jax.devices()[0].platform} transport is cond-latency-"
+                    "bound; set self_play.cond_interval to override)"
+                )
+        else:
+            self.cond_interval = int(ci)
 
         sc_mesh = sc.get("mesh_devices")
         self.mesh = None

@@ -65,9 +65,11 @@ DEFAULTS: Dict[str, Dict[str, Any]] = {
         "num_parallel_games": None,
         # evaluate the lockstep loops' liveness conds (scalar cross-shard
         # all-reduces under a dp mesh) every k iterations instead of every
-        # iteration. Bit-identical results for any k; raise on latency-bound
-        # transports (Gloo/DCN) — measured in results/multihost_scaling.md.
-        "cond_interval": 1,
+        # iteration. Bit-identical results for any k. None/"auto" =
+        # transport-aware default (k=4 on multi-process non-TPU transports
+        # where the conds are latency-bound — measured +15.4% at N=4 in
+        # results/multihost_scaling.md — else k=1); an int overrides.
+        "cond_interval": None,
     },
     "paths": {
         "checkpoint_dir": "data/models",

@@ -27,13 +27,14 @@ def free_port():
     return port
 
 
-def run_pair(mode, tmp_path, timeout=420):
+def run_pair(mode, tmp_path, timeout=420, extra=None, expect_rc=(0, 0)):
     port = free_port()
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    cmd_tail = [str(tmp_path)] + ([extra] if extra is not None else [])
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, mode, str(pid), "2", str(port),
-             str(tmp_path)],
+            [sys.executable, WORKER, mode, str(pid), "2", str(port)]
+            + cmd_tail,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env,
         )
@@ -49,7 +50,10 @@ def run_pair(mode, tmp_path, timeout=420):
             raise
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+        assert p.returncode == expect_rc[pid], (
+            f"worker {pid} rc={p.returncode} (expected {expect_rc[pid]}):\n"
+            f"{out[-3000:]}"
+        )
     results = []
     for pid in range(2):
         with open(tmp_path / f"result_{pid}.json") as f:
@@ -77,6 +81,48 @@ def test_two_process_trainer_iteration(tmp_path):
     assert results[0]["iteration"] == 1
     assert results[0]["buffer_filled"] > 0
     assert results[0]["buffer_filled"] == results[1]["buffer_filled"]
+
+
+@pytest.mark.slow
+def test_two_process_resume_bit_identical(tmp_path):
+    """Multi-host checkpoint -> full process-group restart -> resume
+    (VERDICT r3 item 1: the distributed recovery story is 'fail fast,
+    restart with --resume latest', but the resume half had never actually
+    been executed under jax.distributed). Three sequential 2-process
+    groups: an uninterrupted 4-iteration run, a 2-iteration run that
+    checkpoints and EXITS, and a fresh group that resumes via the CLI's
+    latest-checkpoint lookup and trains 2 -> 4. Params, optimizer state,
+    host RNG and replay buffer must all match the uninterrupted run
+    bitwise, on every process."""
+    full = run_pair("resume", tmp_path / "full", timeout=560, extra="full")
+    part1 = run_pair("resume", tmp_path / "part", timeout=560, extra="part1")
+    part2 = run_pair("resume", tmp_path / "part", timeout=560, extra="part2")
+
+    assert all(r["iteration"] == 4 for r in full + part2)
+    assert all(r["iteration"] == 2 for r in part1)
+    # identical across processes within each group
+    for group in (full, part1, part2):
+        a = {k: v for k, v in group[0].items() if k != "process"}
+        b = {k: v for k, v in group[1].items() if k != "process"}
+        assert a == b
+    # resumed run bit-identical to the uninterrupted run
+    for key in ("params_digest", "opt_digest", "rng_digest",
+                "buffer_digest", "buffer_filled"):
+        assert full[0][key] == part2[0][key], key
+
+
+@pytest.mark.slow
+def test_two_process_failfast_on_injected_fault(tmp_path):
+    """Distributed fail-fast (trainer.py: a local self-heal while peers sit
+    in training collectives would deadlock the fleet): a fault injected in
+    iteration 2 on both processes must make train() re-raise — no healing
+    attempt — and both processes exit promptly with the sentinel rc instead
+    of wedging in a collective. Promptness is the communicate() timeout."""
+    results = run_pair("failfast", tmp_path, timeout=420, extra="both",
+                       expect_rc=(17, 17))
+    for r in results:
+        assert r["failed_fast"] is True
+        assert r["healed"] is False
 
 
 @pytest.mark.slow

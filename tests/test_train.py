@@ -150,6 +150,50 @@ class TestSelfPlay:
         for a, b in zip(traj, traj_k4):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_auto_cond_interval_selection(self):
+        """Transport-aware cond_interval default (VERDICT r3 item 4): k=4
+        only on multi-process non-TPU transports (where the liveness conds
+        are latency-bound — measured +15.4% at N=4), k=1 everywhere else."""
+        from othello_reinforcement_learning_test_tpu.train.self_play import (
+            auto_cond_interval,
+        )
+
+        assert auto_cond_interval(process_count=1, platform="cpu") == 1
+        assert auto_cond_interval(process_count=1, platform="tpu") == 1
+        assert auto_cond_interval(process_count=2, platform="tpu") == 1
+        assert auto_cond_interval(process_count=2, platform="cpu") == 4
+        assert auto_cond_interval(process_count=4, platform="gpu") == 4
+
+    def test_trainer_cond_interval_default_and_override(self, tmp_path):
+        """The trainer resolves unset/"auto" via auto_cond_interval (this
+        process is single-process -> 1) and honors an explicit override."""
+        from othello_reinforcement_learning_test_tpu.train.trainer import (
+            AlphaZeroTrainer,
+        )
+
+        base = {
+            "game": {"size": 4},
+            "model": {"num_blocks": 1, "num_filters": 8, "board_size": 4},
+            "training": {"batch_size": 8, "num_iterations": 1,
+                         "self_play_episodes_per_iter": 1,
+                         "replay_buffer_size": 64},
+            "mcts": {"num_simulations": 2},
+            "paths": {"checkpoint_dir": str(tmp_path / "m"),
+                      "log_dir": str(tmp_path / "l")},
+        }
+        tr = AlphaZeroTrainer(dict(base), log_cb=None)
+        assert tr.cond_interval == 1  # single-process auto
+        tr.close()
+        cfg = dict(base)
+        cfg["self_play"] = {"cond_interval": 3}
+        tr = AlphaZeroTrainer(cfg, log_cb=None)
+        assert tr.cond_interval == 3  # explicit override wins
+        tr.close()
+        cfg["self_play"] = {"cond_interval": "auto"}
+        tr = AlphaZeroTrainer(cfg, log_cb=None)
+        assert tr.cond_interval == 1
+        tr.close()
+
     def test_values_consistent(self, traj):
         """Step values are ±winner alternating with mover parity, 0 on draws
         (correct-parity version of reference self_play.py:119-133)."""
