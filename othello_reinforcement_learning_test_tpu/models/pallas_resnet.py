@@ -374,6 +374,72 @@ def _trunk_kernel_int8_dx3(x_ref, w_ref, s_ref, b_ref, out_ref, *,
     out_ref[:] = x.reshape(Bblk, S, S, C).astype(jnp.bfloat16)
 
 
+def _trunk_kernel_int8_dxcat(x_ref, w_ref, s_ref, b_ref, out_ref, qcat_ref, *,
+                             num_blocks: int, size: int):
+    """Int8 trunk, dx-concat: dx3 with a 3x deeper MXU contraction.
+
+    Round-4 decomposition (results/nn_inference_decomposition.md): the dx3
+    trunk at B=1024 runs at ~55% of the v5e int8 peak — but almost exactly
+    100% of the *bf16* MXU rate, suggesting the residual is not staging
+    traffic (dx3 already made every large access tile-aligned) but the
+    K=128 contraction depth: the MXU only reaches the 2x int8 rate on
+    deeper contractions. This kernel keeps dx3's alignment structure and
+    feeds the MXU K=384:
+
+    - the three dx-shifted int8 copies (2 misaligned 1-row shifts, cheap at
+      int8 width) concatenate along LANES into one (M, 3C) tensor — column
+      offsets 0/C/2C are whole (32, 128) int8 tiles;
+    - per dy group: ONE (M, 3C) @ (3C, C) int8 matmul (K = 384);
+    - dy = ±1 output shifts stay whole-sublane int32 row shifts (±S) as in
+      dx3, but on a (M, C) z — 3x less int32 staging than dx3's (M, 3C).
+
+    w: (L, 3, 3C, C) int8 — dy-major groups, rows (dx block, C_in)-major;
+    s: (L, C) per-output-channel scales; b: (L, C) folded-BN bias."""
+    Bblk, S, _, C = x_ref.shape
+    M = Bblk * S * S
+    x = x_ref[:].reshape(M, C).astype(jnp.float32)
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) % (S * S)
+    r, c = pos // S, pos % S
+
+    def conv3x3(h, layer):
+        s_act = jnp.maximum(jnp.max(jnp.abs(h)), 1e-8) / 127.0
+        q = jnp.clip(jnp.round(h / s_act), -127, 127).astype(jnp.int8)
+        qpad = jnp.pad(q, ((1, 1), (0, 0)))
+        # lane-concat via the scratch ref (Mosaic can't concat vectors whose
+        # sublane offsets differ; the 3 static column writes are whole
+        # (32, 128) int8 tiles)
+        for gi, dx in enumerate((-1, 0, 1)):
+            if dx == 0:
+                part = q
+            else:
+                part = jnp.where(
+                    (c + dx >= 0) & (c + dx < S),
+                    qpad[1 + dx: 1 + dx + M, :], jnp.int8(0))
+            qcat_ref[:, gi * C: (gi + 1) * C] = part
+        qcat = qcat_ref[:]  # (M, 3C) int8
+        acc = None
+        for gj, dy in enumerate((-1, 0, 1)):
+            z = jax.lax.dot_general(
+                qcat, w_ref[layer, gj],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (M, C) int32
+            zpad = jnp.pad(z, ((S, S), (0, 0)))
+            zs = zpad[S + S * dy: S + S * dy + M, :]
+            term = jnp.where((r + dy >= 0) & (r + dy < S), zs, 0)
+            acc = term if acc is None else acc + term
+        return acc.astype(jnp.float32) * (s_act * s_ref[layer])[None, :] \
+            + b_ref[layer][None, :]
+
+    for i in range(num_blocks):
+        y = jnp.maximum(conv3x3(x, 2 * i), 0.0)
+        z = conv3x3(y, 2 * i + 1)
+        x = jnp.maximum(x + z, 0.0)
+
+    out_ref[:] = x.reshape(Bblk, S, S, C).astype(jnp.bfloat16)
+
+
 def _grid_call(kern, x, consts, num_blocks, block_games, interpret,
                scratch_shapes=(), vmem_limit_bytes=None):
     """Shared pallas_call plumbing: block the games axis, broadcast consts."""
@@ -460,12 +526,25 @@ def fused_trunk_int8(
         w_int8 = w_int8.reshape(L, C, 9, C).transpose(0, 2, 1, 3)
     elif kernel == "dx3":
         kfn = _trunk_kernel_int8_dx3
-        vmem_limit = 24 * 1024 * 1024
+        # bg<=64 sits ~3% over the 16 MiB default scoped budget; bg=128
+        # needs ~2x the staging VMEM (measured in round 4's bg sweep)
+        vmem_limit = (24 if block_games <= 64 else 96) * 1024 * 1024
         # (L, C, 9C) tap-major (k = 3*(dy+1) + dx+1) -> (L, 3, C, 3C):
         # dx-major groups, dy-minor column blocks within each group
         L = w_int8.shape[0]
         wt = w_int8.reshape(L, C, 3, 3, C)  # (L, C, dy, dx, C)
         w_int8 = wt.transpose(0, 3, 1, 2, 4).reshape(L, 3, C, 3 * C)
+    elif kernel == "dxcat":
+        kfn = _trunk_kernel_int8_dxcat
+        vmem_limit = 24 * 1024 * 1024
+        # (L, C, 9C) tap-major -> (L, 3, 3C, C): dy-major groups, rows
+        # (dx block, C_in)-major to match the lane-concatenated input
+        L = w_int8.shape[0]
+        wt = w_int8.reshape(L, C, 3, 3, C)  # (L, C_in, dy, dx, C_out)
+        w_int8 = wt.transpose(0, 2, 3, 1, 4).reshape(L, 3, 3 * C, C)
+        scratch = (
+            lambda bg: pltpu.VMEM((bg * S * S, 3 * C), jnp.int8),
+        )
     elif kernel in ("patch", "flat"):
         kfn = (_trunk_kernel_int8_patch if kernel == "patch"
                else _trunk_kernel_int8_flat)
@@ -525,7 +604,8 @@ class FusedInference:
     residual trunk fused. Drop-in for ``apply_fn(variables, x)``."""
 
     VARIANTS = ("matmul9", "wide", "int8", "int8_bf16", "int8_m9",
-                "int8_patch", "int8_flat", "int8_dx3", "int8_xla")
+                "int8_patch", "int8_flat", "int8_dx3", "int8_dxcat",
+                "int8_xla")
 
     def __init__(self, model: OthelloResNet, interpret: bool = False,
                  block_games: int = 0, variant: str = "matmul9"):
@@ -539,7 +619,7 @@ class FusedInference:
         self.block_games = block_games or {
             "matmul9": 32, "wide": 16, "int8": 16, "int8_bf16": 16,
             "int8_m9": 32, "int8_patch": 32, "int8_flat": 32, "int8_dx3": 64,
-            "int8_xla": 0,
+            "int8_dxcat": 64, "int8_xla": 0,
         }[variant]
         self.variant = variant
 
@@ -580,8 +660,9 @@ class FusedInference:
                     or self.variant == "int8":
                 kernel = {"int8": "out_shift",
                           "int8_bf16": "out_shift_bf16", "int8_m9": "m9",
-                          "int8_patch": "patch",
-                          "int8_flat": "flat", "int8_dx3": "dx3"}[self.variant]
+                          "int8_patch": "patch", "int8_flat": "flat",
+                          "int8_dx3": "dx3",
+                          "int8_dxcat": "dxcat"}[self.variant]
                 h = fused_trunk_int8(
                     h, qt.w_int8, qt.w_scale, qt.bias, model.num_blocks,
                     block_games=self.block_games, interpret=self.interpret,

@@ -62,6 +62,11 @@ class Tree(struct.PyTreeNode):
     legal: jnp.ndarray  # (B, N, A) bool
     terminal: jnp.ndarray  # (B, N) bool
     term_value: jnp.ndarray  # (B, N) float32 — game winner at terminal nodes
+    # raw leaf evaluation (NN value, or winner at terminals) — cached so a
+    # follow-up search rooted at this node can skip its root forward
+    # entirely (root-eval reuse, round 4: one of the 26 forwards per
+    # self-play ply)
+    nn_value: jnp.ndarray  # (B, N) float32
     num_nodes: jnp.ndarray  # (B,) int32
 
 
@@ -71,6 +76,39 @@ class SearchResult(NamedTuple):
     q_values: jnp.ndarray  # (B, A) float32 — per-action Q, mover perspective
     legal: jnp.ndarray  # (B, A) bool
     root_terminal: jnp.ndarray  # (B,) bool — roots that are finished games
+
+
+class RootCache(NamedTuple):
+    """Cached root evaluation for ``search(root_cache=...)`` — exactly the
+    quantities the fresh root path computes from ``observe`` + one network
+    call, extracted instead from the previous search's tree at the chosen
+    child (``extract_root_cache``). The network is deterministic, so reuse
+    is bit-identical to re-evaluating and saves one forward per ply (1 of
+    26 at 25 sims — the forward is ~95% of the sim step, round-4
+    decomposition in results/nn_inference_decomposition.md)."""
+
+    prior: jnp.ndarray  # (B, A) float32 — masked_probs, noise NOT applied
+    value: jnp.ndarray  # (B,) float32 — NN value (winner at terminals)
+    legal: jnp.ndarray  # (B, A) bool
+    terminal: jnp.ndarray  # (B,) bool
+    winner: jnp.ndarray  # (B,) float32
+
+
+def extract_root_cache(tree: Tree, action: jnp.ndarray) -> RootCache:
+    """RootCache for the position reached by playing ``action`` at the
+    root: a dense gather of the chosen child's cached rows. Only valid for
+    actions whose child is expanded (any action with >= 1 root visit);
+    unexpanded actions map to slot NO_CHILD and return zeros."""
+    n_slots = tree.visit.shape[1]
+    child_idx = _take_lane(tree.children[:, 0], action)  # (B,)
+    m = _node_mask(child_idx, n_slots)
+    return RootCache(
+        prior=_take(tree.prior, m),
+        value=_take(tree.nn_value, m),
+        legal=_take(tree.legal, m),
+        terminal=_take(tree.terminal, m),
+        winner=_take(tree.term_value, m),
+    )
 
 
 class _Selection(NamedTuple):
@@ -262,11 +300,14 @@ def _expand_and_backup(
         v = value.reshape(value.shape[:1] + (1,) + value.shape[1:])
         return jnp.where(m, v, arr)
 
-    leaf_value = jnp.where(child_terminal, child_winner.astype(jnp.float32), nn_value)
+    # raw evaluation of the new leaf (NN value, or true winner at terminal
+    # children) — also cached in the tree for root-eval reuse
+    raw_value = jnp.where(
+        child_terminal, child_winner.astype(jnp.float32), nn_value)
     leaf_value = jnp.where(
         sel.is_term_leaf,
         _take(tree.term_value, _node_mask(sel.parent, n_slots)),
-        leaf_value,
+        raw_value,
     )
 
     m_edge = (
@@ -280,6 +321,7 @@ def _expand_and_backup(
         legal=wr(tree.legal, child_legal),
         terminal=wr(tree.terminal, child_terminal),
         term_value=wr(tree.term_value, child_winner.astype(jnp.float32)),
+        nn_value=wr(tree.nn_value, raw_value),
         children=jnp.where(m_edge, new_idx[:, None, None], tree.children),
         num_nodes=tree.num_nodes + expand.astype(jnp.int32),
     )
@@ -364,6 +406,7 @@ def _init_tree(
         terminal=jnp.zeros((B, n_slots), jnp.bool_).at[:, 0].set(terminal),
         term_value=jnp.zeros((B, n_slots), jnp.float32)
         .at[:, 0].set(winner.astype(jnp.float32)),
+        nn_value=jnp.zeros((B, n_slots), jnp.float32).at[:, 0].set(value),
         num_nodes=jnp.ones((B,), jnp.int32),
     )
     return tree
@@ -380,13 +423,19 @@ def search(
     dirichlet_epsilon: float = 0.25,
     add_noise: bool = False,
     cond_interval: int = 1,
-) -> SearchResult:
-    """Run batched MCTS from a batch of root boards.
+    root_cache: RootCache = None,
+    return_tree: bool = False,
+):
+    """Run batched MCTS from a batch of root boards. Returns a
+    ``SearchResult`` (or ``(SearchResult, Tree)`` with ``return_tree``).
 
     ``apply_fn``: (B, S, S, 3) -> (log_probs (B, A), value (B, 1)); typically
     a closure over network variables in eval mode. ``cond_interval`` (static)
     decimates the select walk's liveness cond (see ``_select``); results are
-    bit-identical for any k.
+    bit-identical for any k. ``root_cache`` supplies the root evaluation
+    from a previous search's tree (``extract_root_cache``), skipping the
+    root observe + forward — bit-identical (the network is deterministic)
+    and one forward cheaper per call.
     """
     num_actions = engine.num_actions
     n_slots = num_simulations + 1
@@ -394,15 +443,19 @@ def search(
     assert len(batch) == 1, "search expects a single batch axis"
     B = batch[0]
 
-    legal0, term0, win0, feats = engine.observe(boards, with_features=True)
-    log_p, v0 = apply_fn(feats)
-    prior0 = masked_probs(log_p, legal0)
+    if root_cache is None:
+        legal0, term0, win0, feats = engine.observe(boards, with_features=True)
+        log_p, v0 = apply_fn(feats)
+        prior0 = masked_probs(log_p, legal0)
+        win0 = win0.astype(jnp.float32)
+        root_value0 = jnp.where(term0, win0, v0[..., 0])
+    else:
+        prior0, root_value0, legal0, term0, win0 = root_cache
     if add_noise:
         rng, sub = jax.random.split(rng)
         prior0 = add_dirichlet_noise(
             sub, prior0, legal0, dirichlet_alpha, dirichlet_epsilon
         )
-    root_value0 = jnp.where(term0, win0.astype(jnp.float32), v0[..., 0])
 
     tree = _init_tree(
         B, n_slots, num_actions,
@@ -455,13 +508,16 @@ def search(
         0.0,
     )
     root_value = tree.value_sum[:, 0] / jnp.maximum(tree.visit[:, 0], 1)
-    return SearchResult(
+    result = SearchResult(
         visit_counts=counts,
         root_value=root_value,
         q_values=q_values,
         legal=legal0,
         root_terminal=term0,
     )
+    if return_tree:
+        return result, tree
+    return result
 
 
 def action_probs_from_counts(

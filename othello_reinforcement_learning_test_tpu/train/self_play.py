@@ -85,6 +85,7 @@ def auto_cond_interval(process_count: int = None, platform: str = None) -> int:
         "add_noise",
         "mesh",
         "cond_interval",
+        "reuse_root_eval",
     ),
 )
 def play_games(
@@ -101,6 +102,7 @@ def play_games(
     add_noise: bool = True,
     mesh=None,
     cond_interval: int = 1,
+    reuse_root_eval: bool = True,
 ) -> Trajectory:
     """Play ``num_games`` complete games in lockstep; fully jitted.
 
@@ -144,15 +146,48 @@ def play_games(
         )
         variables = replicate(variables, mesh)
 
+    # root-eval reuse (round 4): the root evaluation of ply t+1 is the
+    # chosen child's cached evaluation from ply t's search tree — the
+    # network is deterministic, so seeding the loop with ONE root forward
+    # here and reusing the tree cache thereafter is bit-identical to
+    # re-evaluating every root, and saves 1 of num_simulations+1 forwards
+    # per ply (the forward is ~95% of the sim step at B=1024 —
+    # results/nn_inference_decomposition.md round 4).
+    if reuse_root_eval:
+        legal_r, term_r, win_r, feats_r = engine.observe(
+            boards0, with_features=True)
+        log_p_r, v_r = net(feats_r)
+        win_rf = win_r.astype(jnp.float32)
+        cache0 = mcts.RootCache(
+            prior=mcts.masked_probs(log_p_r, legal_r),
+            value=jnp.where(term_r, win_rf, v_r[..., 0]),
+            legal=legal_r,
+            terminal=term_r,
+            winner=win_rf,
+        )
+    else:
+        A_ = A
+        cache0 = mcts.RootCache(
+            prior=jnp.zeros((B, A_), jnp.float32),
+            value=jnp.zeros((B,), jnp.float32),
+            legal=jnp.zeros((B, A_), jnp.bool_),
+            terminal=jnp.zeros((B,), jnp.bool_),
+            winner=jnp.zeros((B,), jnp.float32),
+        )
+    if mesh is not None:
+        from ..parallel.mesh import shard_leading
+
+        cache0 = mcts.RootCache(*shard_leading(tuple(cache0), mesh))
+
     def cond(carry):
-        boards, any_live, _, _, _, _, _, _, t = carry
+        boards, cache, any_live, _, _, _, _, _, _, t = carry
         return any_live & (t < T)
 
     def body(carry):
-        boards, _, rng, t_me, t_opp, t_pi, t_par, t_mask, t = carry
+        boards, cache, _, rng, t_me, t_opp, t_pi, t_par, t_mask, t = carry
         rng, k_search, k_act = jax.random.split(rng, 3)
 
-        res = mcts.search(
+        res, tree = mcts.search(
             engine,
             net,
             boards,
@@ -163,6 +198,8 @@ def play_games(
             dirichlet_epsilon=dirichlet_epsilon,
             add_noise=add_noise,
             cond_interval=cond_interval,
+            root_cache=cache if reuse_root_eval else None,
+            return_tree=True,
         )
         # liveness comes for free from the search's root observation (the
         # separate is_terminal flood this replaced cost 2 extra flood passes)
@@ -174,8 +211,15 @@ def play_games(
             boards.move_count < temperature_threshold, 1.0, 0.0
         ).astype(jnp.float32)
         act_probs = mcts.action_probs_from_counts(res.visit_counts, res.legal, temp)
+        # exact zero-probability masking (-inf logits): a zero-visit action
+        # can NEVER be sampled, which also guarantees the chosen action's
+        # child is expanded — the invariant root-eval reuse relies on (the
+        # old +1e-12 smoothing left a ~e^-24 tail on zero-visit actions)
         action = jax.random.categorical(
-            k_act, jnp.log(act_probs + 1e-12), axis=-1
+            k_act,
+            jnp.where(act_probs > 0,
+                      jnp.log(jnp.maximum(act_probs, 1e-30)), -jnp.inf),
+            axis=-1,
         ).astype(jnp.int32)
 
         lv = live[:, None]
@@ -195,7 +239,17 @@ def play_games(
             nxt,
             boards,
         )
-        return boards, live.any(), rng, t_me, t_opp, t_pi, t_par, t_mask, t + 1
+        if reuse_root_eval:
+            new_cache = mcts.extract_root_cache(tree, action)
+            # dead games keep their (terminal=True) cache so they stay dead
+            cache = jax.tree.map(
+                lambda n, o: jnp.where(
+                    live.reshape(live.shape + (1,) * (n.ndim - live.ndim)),
+                    n, o),
+                new_cache, cache,
+            )
+        return (boards, cache, live.any(), rng, t_me, t_opp, t_pi, t_par,
+                t_mask, t + 1)
 
     if cond_interval > 1:
         inner = body
@@ -204,11 +258,12 @@ def play_games(
             return jax.lax.fori_loop(
                 0, cond_interval, lambda _, c: inner(c), carry)
 
-    boards, _, _, t_me, t_opp, t_pi, t_par, t_mask, _ = jax.lax.while_loop(
+    boards, _, _, _, t_me, t_opp, t_pi, t_par, t_mask, _ = jax.lax.while_loop(
         cond,
         body,
         (
             boards0,
+            cache0,
             jnp.bool_(True),
             rng,
             traj_me,

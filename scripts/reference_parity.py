@@ -37,7 +37,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 ITERS = [5, 10, 15, 20, 25, 30, 35, 40]
-SEEDS = [42, 123]
+SEEDS = [42, 123]  # default; extend with --seeds (round 4 added 7, 2024)
 
 
 def ckpt_path(system: str, seed: int, iteration: int) -> str:
@@ -58,9 +58,13 @@ def main() -> None:
     ap.add_argument("--h2h-games", type=int, default=200)
     ap.add_argument("--simulations", type=int, default=50)
     ap.add_argument("--device", choices=["auto", "cpu"], default="auto")
+    ap.add_argument("--seeds", type=int, nargs="+", default=SEEDS,
+                    help="seeds to (re)evaluate; existing JSON entries for "
+                         "other seeds are preserved (merge, not overwrite)")
     ap.add_argument("--out", default=os.path.join(
         REPO, "results", "reference_parity.json"))
     args = ap.parse_args()
+    seeds = args.seeds
     if args.device == "cpu":
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
@@ -89,6 +93,11 @@ def main() -> None:
         "curves": {},
         "head_to_head": {},
     }
+    if os.path.exists(args.out):  # merge: keep previously evaluated seeds
+        with open(args.out) as f:
+            prev = json.load(f)
+        out["curves"].update(prev.get("curves", {}))
+        out["head_to_head"].update(prev.get("head_to_head", {}))
 
     def save():
         os.makedirs(os.path.dirname(args.out), exist_ok=True)
@@ -96,7 +105,7 @@ def main() -> None:
             json.dump(out, f, indent=1)
 
     for system in ("reference", "repo"):
-        for seed in SEEDS:
+        for seed in seeds:
             key = f"{system}_seed{seed}"
             out["curves"][key] = []
             for it in ITERS:
@@ -128,7 +137,7 @@ def main() -> None:
                 save()
 
     # head-to-head: final models (iteration 40), repo as player1
-    for seed in SEEDS:
+    for seed in seeds:
         repo_p = MCTSPlayer.from_checkpoint(
             ckpt_path("repo", seed, 40), engine=engine,
             num_simulations=args.simulations,

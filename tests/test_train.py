@@ -150,6 +150,27 @@ class TestSelfPlay:
         for a, b in zip(traj, traj_k4):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_root_eval_reuse_bit_identical(self, traj):
+        """Root-eval reuse (round 4: the new root's evaluation is the chosen
+        child's cached evaluation from the previous search tree) must be
+        bit-identical to re-evaluating every root — the network is
+        deterministic, so the cached prior/value ARE the fresh ones."""
+        eng = get_engine(8)
+        model = OthelloResNet(num_blocks=1, num_filters=8)
+        variables = init_variables(model, jax.random.PRNGKey(0))
+        traj_fresh = play_games(
+            eng,
+            apply_eval(model),
+            variables,
+            jax.random.PRNGKey(1),
+            num_games=4,
+            num_simulations=4,
+            temperature_threshold=10,
+            reuse_root_eval=False,
+        )
+        for a, b in zip(traj, traj_fresh):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_auto_cond_interval_selection(self):
         """Transport-aware cond_interval default (VERDICT r3 item 4): k=4
         only on multi-process non-TPU transports (where the liveness conds
