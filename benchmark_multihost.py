@@ -40,7 +40,7 @@ def _free_port() -> int:
 
 def worker(pid: int, nprocs: int, port: int, outdir: str, games: int,
            sims: int, blocks: int, filters: int,
-           cond_interval: int) -> None:
+           cond_interval: int, design: str = "global") -> None:
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     # Weak scaling needs CONSTANT resources per process. A JAX CPU process
     # spawns a whole-machine thread pool, so N co-located workers
@@ -91,17 +91,49 @@ def worker(pid: int, nprocs: int, port: int, outdir: str, games: int,
     model = OthelloResNet(num_blocks=blocks, num_filters=filters)
     variables = init_variables(model, jax.random.PRNGKey(0))
     mesh = make_mesh()
-    variables = to_global_replicated(variables, mesh)
+    g_variables = to_global_replicated(variables, mesh)
     total_games = games * nprocs  # weak scaling: fixed per-process load
 
-    def run(seed):
-        rng = fold_in_process(jax.random.PRNGKey(seed))
-        traj = play_games(
-            engine, apply_eval(model), variables, rng,
-            num_games=total_games, num_simulations=sims, mesh=mesh,
-            cond_interval=cond_interval,
+    assembly = {"bytes": 0, "ms": 0.0}
+
+    if design == "global":
+        # one SPMD program over the global mesh (the trainer's TPU design)
+        def run(seed):
+            rng = fold_in_process(jax.random.PRNGKey(seed))
+            traj = play_games(
+                engine, apply_eval(model), variables_in, rng,
+                num_games=total_games, num_simulations=sims, mesh=mesh,
+                cond_interval=cond_interval,
+            )
+            return int(jax.device_get(traj.num_moves.sum()))
+
+        variables_in = g_variables
+    else:
+        # local play + host assembly (the trainer's non-TPU design): each
+        # process plays its own shard with a LOCAL jit (zero cross-host
+        # syncs), then the shards assemble into global arrays through host
+        # memory — the per-iteration cost the trainer pays on this path
+        from othello_reinforcement_learning_test_tpu.parallel import (
+            global_from_local_leading,
         )
-        return int(jax.device_get(traj.num_moves.sum()))
+        import numpy as np
+
+        def run(seed):
+            rng = fold_in_process(jax.random.PRNGKey(seed))
+            traj = play_games(
+                engine, apply_eval(model), variables, rng,
+                num_games=games, num_simulations=sims,
+                cond_interval=cond_interval,
+            )
+            jax.block_until_ready(traj.mask)
+            t0 = time.perf_counter()
+            host = jax.device_get(traj)
+            g = global_from_local_leading(host, mesh)
+            jax.block_until_ready(g.mask)
+            assembly["ms"] = (time.perf_counter() - t0) * 1e3
+            assembly["bytes"] = sum(
+                np.asarray(x).nbytes for x in host)
+            return int(jax.device_get(g.num_moves.sum()))
 
     run(0)  # compile + warmup
     t0 = time.perf_counter()
@@ -111,10 +143,13 @@ def worker(pid: int, nprocs: int, port: int, outdir: str, games: int,
         with open(os.path.join(outdir, f"n{nprocs}.json"), "w") as f:
             json.dump({
                 "processes": nprocs,
+                "design": design,
                 "games": total_games,
                 "games_per_s": total_games / dt,
                 "env_steps_per_s": moves / dt,
                 "wall_s": dt,
+                "assembly_ms_per_iter": round(assembly["ms"], 2),
+                "assembly_bytes_per_process": assembly["bytes"],
             }, f)
 
 
@@ -126,7 +161,7 @@ def measure_once(nprocs: int, args, outdir: str) -> dict:
              str(pid), str(nprocs), str(port), outdir,
              str(args.games_per_process), str(args.simulations),
              str(args.blocks), str(args.filters),
-             str(args.cond_interval)],
+             str(args.cond_interval), args.design],
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         for pid in range(nprocs)
@@ -167,15 +202,22 @@ def main() -> None:
                              "all-reduce rounds). 0 = auto: the transport-"
                              "aware default the trainer uses (k=4 on "
                              "multi-process non-TPU, else 1)")
-    parser.add_argument("--worker", nargs=9, default=None,
+    parser.add_argument("--design", choices=["global", "local"],
+                        default="global",
+                        help="multi-host self-play design: 'global' = one "
+                             "SPMD program over the global mesh; 'local' = "
+                             "per-process local play + host assembly (the "
+                             "trainer's two designs; round-4 head-to-head "
+                             "in results/multihost_scaling.md)")
+    parser.add_argument("--worker", nargs=10, default=None,
                         help="(internal) pid nprocs port outdir games sims "
-                             "blocks filters cond_interval")
+                             "blocks filters cond_interval design")
     args = parser.parse_args()
 
     if args.worker:
         w = args.worker
         worker(int(w[0]), int(w[1]), int(w[2]), w[3], int(w[4]), int(w[5]),
-               int(w[6]), int(w[7]), int(w[8]))
+               int(w[6]), int(w[7]), int(w[8]), w[9])
         return
 
     results = {}

@@ -334,6 +334,24 @@ class AlphaZeroTrainer:
         else:
             self.cond_interval = int(ci)
 
+        # distributed self-play design (multi-host only):
+        #   local  — each process plays its shard with a LOCAL jit, then the
+        #            shards assemble into one global trajectory through host
+        #            memory (zero cross-host syncs during play; pays a host
+        #            round-trip per iteration)
+        #   global — one mesh-spanning jitted program plays all games SPMD
+        #            (no host bounce; pays the lockstep liveness conds as
+        #            cross-host all-reduces, decimated by cond_interval)
+        #   auto   — global on TPU (conds ride ICI at us latency), local on
+        #            CPU/GPU process groups (conds are latency-bound even at
+        #            k=4 — measured head-to-head in
+        #            results/multihost_scaling.md round 4)
+        self.distributed_self_play = str(
+            sc.get("distributed_self_play") or "auto")
+        if self.distributed_self_play not in ("auto", "local", "global"):
+            raise ValueError(
+                "system.distributed_self_play must be auto|local|global, "
+                f"got {self.distributed_self_play!r}")
         sc_mesh = sc.get("mesh_devices")
         self.mesh = None
         # single-process mesh size, kept so _reset_backend can rebuild the
@@ -519,12 +537,14 @@ class AlphaZeroTrainer:
         # AlphaZero scheme); otherwise from the current candidate
         sp_variables = self.best_variables if self.gating_enabled else self.variables()
         if self.distributed:
-            # each process plays its share locally with a per-process folded
-            # RNG, then the shards assemble into one global trajectory
-            # (games x hosts DP — SURVEY §2; the round-1 gap was that this
-            # path existed but nothing called it)
-            from ..parallel.mesh import fold_in_process, global_from_local_leading
-
+            design = self.distributed_self_play
+            if design == "auto":
+                # conds are us-cheap over ICI -> play globally (no host
+                # bounce); latency-bound on CPU/GPU transports -> play
+                # locally (measured head-to-head:
+                # results/multihost_scaling.md round 4)
+                design = ("global" if jax.devices()[0].platform == "tpu"
+                          else "local")
             # even per-process share, rounded UP to a multiple of the local
             # device count so the leading axis shards cleanly (a floor split
             # silently dropped the remainder — e.g. 100 games over 3 hosts
@@ -540,6 +560,35 @@ class AlphaZeroTrainer:
                     f"{total} ({local_games}/process) for even sharding"
                 )
             self.rng, sub = jax.random.split(self.rng)
+            if design == "global":
+                # one SPMD program over the whole mesh: all inputs global,
+                # one identical RNG key everywhere (per-game keys fold out
+                # inside), trajectory comes back already games-sharded
+                from ..parallel.mesh import to_global_replicated
+
+                g_vars = to_global_replicated(
+                    jax.device_get(sp_variables), self.mesh)
+                g_rng = to_global_replicated(jax.device_get(sub), self.mesh)
+                return play_games(
+                    self.engine,
+                    self._apply_selfplay,
+                    g_vars,
+                    g_rng,
+                    num_games=total,
+                    num_simulations=self.num_simulations,
+                    c_puct=self.c_puct,
+                    dirichlet_alpha=self.dirichlet_alpha,
+                    dirichlet_epsilon=self.dirichlet_epsilon,
+                    temperature_threshold=self.temperature_threshold,
+                    add_noise=add_noise,
+                    mesh=self.mesh,
+                    cond_interval=self.cond_interval,
+                )
+            # "local": each process plays its share with a LOCAL jit and a
+            # per-process folded RNG, then the shards assemble into one
+            # global trajectory (games x hosts DP — SURVEY §2)
+            from ..parallel.mesh import fold_in_process, global_from_local_leading
+
             local_vars = jax.device_get(sp_variables)  # host copy, local jit
             traj_local = play_games(
                 self.engine,

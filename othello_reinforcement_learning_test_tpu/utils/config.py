@@ -90,6 +90,13 @@ DEFAULTS: Dict[str, Dict[str, Any]] = {
         # B=4096 on v5e — results/nn_inference_decomposition.md). TPU only
         # except "int8_xla". Training forward/backward is unaffected.
         "self_play_net_variant": "xla",
+        # multi-host self-play design: "global" = one mesh-spanning SPMD
+        # program (no host bounce; conds ride the interconnect), "local" =
+        # per-process local play + host assembly (zero cross-host syncs
+        # during play). "auto" picks global on TPU/ICI, local on CPU/GPU
+        # process groups — the measured winners per transport
+        # (results/multihost_scaling.md round 4).
+        "distributed_self_play": "auto",
         # self-healing training: max consecutive iteration failures the
         # trainer absorbs (clear backend -> resume latest checkpoint ->
         # retry) before re-raising. 0 disables recovery.

@@ -1,0 +1,235 @@
+#!/usr/bin/env python
+"""One rating table to rule the strength claims (VERDICT r3 item 6).
+
+The shipped models all sit at ~100% vs Random/Greedy, so those rows no
+longer discriminate. This harness plays a round-robin among the committed
+checkpoints and the classical anchors under ONE protocol — fixed
+simulations, 4 random opening plies, colors alternating per game — and
+fits an anchored Bradley-Terry model (draws scored 0.5) with bootstrap
+uncertainties. Reference analog: ``benchmark_ai.py`` / ``evaluate_player``
+(``/root/reference/src/eval/arena.py:235-271``) — pairwise, ad-hoc, no
+common scale.
+
+Phases (the host-callback minimax players cannot compile over the axon
+TPU tunnel, so the ladder splits by backend):
+  --phase tpu   pairs among {random, greedy, checkpoints} (fast, batched)
+  --phase cpu   pairs involving Minimax d2/d4/d6 (JAX_PLATFORMS=cpu;
+                NN-vs-minimax connection pairs use --connect-games)
+  --fit         Bradley-Terry fit + results/elo_ladder.md
+
+All results merge incrementally into results/elo_ladder.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+CHECKPOINTS = {
+    "net-500iter": "results/model_10x128_500iter",
+    "net-600iter-gated": "results/model_10x128_600iter_gated",
+    "net-1000iter-default": "results/model_10x128_1000iter_default",
+    "net-strong500": "results/model_strong_8x8_500iter",
+}
+ANCHORS = ["random", "greedy"]
+MINIMAX = {"minimax-d2": 2, "minimax-d4": 4, "minimax-d6": 6}
+SIMS = 100
+ELO_PER_NAT = 400.0 / 2.302585092994046  # natural rating -> Elo points
+
+
+def load_results(path):
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {"protocol": {
+        "games": "see per-pair n",
+        "simulations": SIMS,
+        "opening_random_plies": 4,
+        "colors": "alternate per game",
+    }, "pairs": {}}
+
+
+def make_player(name, engine):
+    import jax  # noqa: F401
+
+    from othello_reinforcement_learning_test_tpu.evaluation.players import (
+        GreedyPlayer, MCTSPlayer, NativeMinimaxPlayer, RandomPlayer)
+
+    if name == "random":
+        return RandomPlayer(engine)
+    if name == "greedy":
+        return GreedyPlayer(engine)
+    if name in MINIMAX:
+        return NativeMinimaxPlayer(engine, depth=MINIMAX[name],
+                                   exact_empties=10)
+    return MCTSPlayer.from_checkpoint(
+        str(REPO / CHECKPOINTS[name]), engine=engine, num_simulations=SIMS)
+
+
+def play_phase(pairs, games, out_path):
+    import jax
+
+    from othello_reinforcement_learning_test_tpu.evaluation.arena import Arena
+    from othello_reinforcement_learning_test_tpu.ops.bitboard import get_engine
+
+    engine = get_engine(8, "reference")
+    arena = Arena(engine)
+    results = load_results(out_path)
+    players = {}
+
+    def get(name):
+        if name not in players:
+            players[name] = make_player(name, engine)
+        return players[name]
+
+    for a, b in pairs:
+        key = f"{a}|{b}"
+        if key in results["pairs"] and results["pairs"][key]["n"] >= games:
+            print(f"{key}: cached", flush=True)
+            continue
+        t0 = time.time()
+        import zlib
+        seed = zlib.crc32(key.encode())  # stable across runs/processes
+        s = arena.play_matches(get(a), get(b), games,
+                               jax.random.PRNGKey(seed),
+                               opening_random_plies=4)
+        results["pairs"][key] = {
+            "wins_a": s.wins, "wins_b": s.losses, "draws": s.draws,
+            "n": games, "wall_s": round(time.time() - t0, 1),
+        }
+        print(f"{key}: {s.wins}W-{s.losses}L-{s.draws}D "
+              f"[{results['pairs'][key]['wall_s']}s]", flush=True)
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+def bt_fit(pairs, names, anchor="random", iters=400, lr=0.5):
+    """Anchored Bradley-Terry MLE on game scores (draw = 0.5) by gradient
+    ascent; returns natural-log ratings with anchor pinned at 0."""
+    import numpy as np
+
+    idx = {n: i for i, n in enumerate(names)}
+    r = np.zeros(len(names))
+    # per-pair aggregated (score_a, n)
+    rows = []
+    for key, p in pairs.items():
+        a, b = key.split("|")
+        if a not in idx or b not in idx:
+            continue
+        score_a = p["wins_a"] + 0.5 * p["draws"]
+        rows.append((idx[a], idx[b], score_a, p["n"]))
+    for _ in range(iters):
+        g = np.zeros(len(names))
+        for ia, ib, sa, n in rows:
+            e = 1.0 / (1.0 + np.exp(-(r[ia] - r[ib])))
+            g[ia] += sa - n * e
+            g[ib] -= sa - n * e
+        r += lr * g / max(1, len(rows))
+        r -= r[idx[anchor]]
+    return r, idx, rows
+
+
+def fit_and_report(out_path, md_path):
+    import numpy as np
+
+    results = load_results(out_path)
+    names = sorted({n for key in results["pairs"] for n in key.split("|")})
+    r, idx, rows = bt_fit(results["pairs"], names)
+
+    # bootstrap over games within each pair (resample outcomes)
+    rng = np.random.default_rng(0)
+    boots = []
+    for _ in range(200):
+        fake = {}
+        for key, p in results["pairs"].items():
+            n = p["n"]
+            probs = np.array([p["wins_a"], p["draws"], p["wins_b"]],
+                             float) / n
+            draw = rng.multinomial(n, probs)
+            fake[key] = {"wins_a": int(draw[0]), "draws": int(draw[1]),
+                         "wins_b": int(draw[2]), "n": n}
+        rb, _, _ = bt_fit(fake, names)
+        boots.append(rb)
+    boots = np.array(boots)
+    lo = np.percentile(boots, 2.5, axis=0)
+    hi = np.percentile(boots, 97.5, axis=0)
+
+    table = sorted(
+        ((n, r[idx[n]] * ELO_PER_NAT, lo[idx[n]] * ELO_PER_NAT,
+          hi[idx[n]] * ELO_PER_NAT) for n in names),
+        key=lambda t: -t[1])
+    results["ratings"] = {
+        n: {"elo_vs_random": round(e, 1),
+            "ci95": [round(a, 1), round(b, 1)]}
+        for n, e, a, b in table
+    }
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+
+    lines = [
+        "# Elo ladder — committed checkpoints + classical anchors",
+        "",
+        "Anchored Bradley-Terry fit (Random = 0 Elo, draws scored 0.5) over",
+        f"the round-robin in `results/elo_ladder.json` ({SIMS} sims for NN",
+        "players, 4 random opening plies, colors alternating; 95% CI by",
+        "bootstrap over game outcomes, 200 resamples). Replaces the",
+        "saturated 100%-vs-Greedy rows as the headline strength metric",
+        "(VERDICT r3 item 6). Reference analog: per-pair `evaluate_player`",
+        "(`/root/reference/src/eval/arena.py:235-271`), no common scale.",
+        "",
+        "| player | Elo (vs Random) | 95% CI |",
+        "|---|---|---|",
+    ]
+    for n, e, a, b in table:
+        lines.append(f"| {n} | {e:+.0f} | [{a:+.0f}, {b:+.0f}] |")
+    lines += [
+        "",
+        "NN-vs-minimax connection pairs use fewer games (CPU-bound:",
+        "host-callback players cannot compile over the axon TPU tunnel),",
+        "which widens the minimax CIs; the NN-only subgraph is dense.",
+        "",
+    ]
+    Path(md_path).write_text("\n".join(lines))
+    for n, e, a, b in table:
+        print(f"{n:24s} {e:+7.0f}  [{a:+.0f}, {b:+.0f}]")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", choices=["tpu", "cpu"], default=None)
+    ap.add_argument("--fit", action="store_true")
+    ap.add_argument("--games", type=int, default=60)
+    ap.add_argument("--connect-games", type=int, default=24,
+                    help="games per NN-vs-minimax pair (CPU-bound)")
+    ap.add_argument("--out", default=str(REPO / "results" / "elo_ladder.json"))
+    args = ap.parse_args()
+
+    if args.phase == "cpu":
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+    if args.phase == "tpu":
+        fast = ANCHORS + list(CHECKPOINTS)
+        pairs = [(a, b) for i, a in enumerate(fast) for b in fast[i + 1:]]
+        play_phase(pairs, args.games, args.out)
+    elif args.phase == "cpu":
+        mm = list(MINIMAX)
+        cheap = [(a, b) for a in mm for b in ANCHORS]
+        cheap += [(a, b) for i, a in enumerate(mm) for b in mm[i + 1:]]
+        play_phase(cheap, args.games, args.out)
+        # NN connection pairs: every checkpoint vs d4; flagship vs d2/d6
+        conn = [(n, "minimax-d4") for n in CHECKPOINTS]
+        conn += [("net-500iter", "minimax-d2"), ("net-500iter", "minimax-d6")]
+        play_phase(conn, args.connect_games, args.out)
+    if args.fit:
+        fit_and_report(args.out, str(REPO / "results" / "elo_ladder.md"))
+
+
+if __name__ == "__main__":
+    main()

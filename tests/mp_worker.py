@@ -60,7 +60,7 @@ def main():
     if mode == "grads":
         out.update(run_grads())
     elif mode == "train":
-        out.update(run_train(outdir))
+        out.update(run_train(outdir, design=extra or "local"))
     elif mode == "gate":
         out.update(run_gate(outdir))
     elif mode == "resume":
@@ -155,7 +155,7 @@ def run_grads():
     return {"max_grad_diff": max_diff, "fold_differs_ok": bool(fold_differs)}
 
 
-def run_train(outdir):
+def run_train(outdir, design="local"):
     import hashlib
 
     import jax
@@ -178,7 +178,7 @@ def run_train(outdir):
         },
         "mcts": {"num_simulations": 2},
         "self_play": {"temperature_threshold": 2},
-        "system": {"seed": 11},
+        "system": {"seed": 11, "distributed_self_play": design},
         "paths": {
             "checkpoint_dir": os.path.join(outdir, "models"),
             "log_dir": os.path.join(outdir, f"logs_{jax.process_index()}"),

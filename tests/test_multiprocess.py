@@ -84,6 +84,19 @@ def test_two_process_trainer_iteration(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_trainer_global_design(tmp_path):
+    """system.distributed_self_play: global — self-play runs as ONE
+    mesh-spanning SPMD program instead of local play + host assembly
+    (round-4 head-to-head; the trainer's TPU-default design). Both
+    processes must still produce identical params and buffers."""
+    results = run_pair("train", tmp_path, timeout=560, extra="global")
+    assert results[0]["params_digest"] == results[1]["params_digest"]
+    assert results[0]["iteration"] == 1
+    assert results[0]["buffer_filled"] > 0
+    assert results[0]["buffer_filled"] == results[1]["buffer_filled"]
+
+
+@pytest.mark.slow
 def test_two_process_resume_bit_identical(tmp_path):
     """Multi-host checkpoint -> full process-group restart -> resume
     (VERDICT r3 item 1: the distributed recovery story is 'fail fast,
