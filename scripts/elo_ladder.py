@@ -212,7 +212,13 @@ def main():
     args = ap.parse_args()
 
     if args.phase == "cpu":
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        # FORCE cpu via jax.config (env vars cannot override this image's
+        # sitecustomize, which registers the axon platform at interpreter
+        # start — see tests/conftest.py); host-callback players cannot
+        # compile over the axon TPU tunnel
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     if args.phase == "tpu":
         fast = ANCHORS + list(CHECKPOINTS)

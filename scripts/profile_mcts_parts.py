@@ -26,11 +26,11 @@ def main():
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
-    if args.platform:
-        import os
-        os.environ["JAX_PLATFORMS"] = args.platform
-
     import jax
+
+    if args.platform:
+        # env vars cannot override sitecustomize's platform registration
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     from othello_reinforcement_learning_test_tpu.models import (

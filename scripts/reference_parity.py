@@ -65,10 +65,12 @@ def main() -> None:
         REPO, "results", "reference_parity.json"))
     args = ap.parse_args()
     seeds = args.seeds
-    if args.device == "cpu":
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
-
     import jax
+
+    if args.device == "cpu":
+        # env vars cannot override this image's sitecustomize platform
+        # registration (see tests/conftest.py) — force via jax.config
+        jax.config.update("jax_platforms", "cpu")
 
     from othello_reinforcement_learning_test_tpu.evaluation import (
         GreedyPlayer,
