@@ -182,9 +182,9 @@ def bench_mcts(args, jax, jnp, engine):
         dt = time.perf_counter() - t0
         gps = B / dt
         if best is None or gps > best[0]:
-            best = (gps, dt, total_moves)
+            best = (gps, dt, total_moves, int(traj.num_moves.max()))
 
-    gps, dt, total_moves = best
+    gps, dt, total_moves, max_moves = best
     env_steps = total_moves / dt
     return {
         "metric": "mcts_selfplay_games_per_sec",
@@ -199,6 +199,11 @@ def bench_mcts(args, jax, jnp, engine):
         "model": f"{args.blocks}x{args.filters}",
         "net_variant": args.net_variant,
         "wall_s": round(dt, 3),
+        # lockstep tail diagnostic: the loop runs max_moves plies while
+        # throughput counts mean moves — the gap is the tail-waste factor
+        # (results/nn_inference_decomposition.md round 4)
+        "max_moves": max_moves,
+        "avg_moves": round(total_moves / B, 1),
     }
 
 
@@ -217,6 +222,8 @@ def bench_train(args, jax, jnp, engine):
     )
     cfg["model"].update(num_blocks=args.blocks, num_filters=args.filters)
     cfg["mcts"]["num_simulations"] = args.simulations
+    if args.net_variant != "xla":
+        cfg["system"]["self_play_net_variant"] = args.net_variant
     import tempfile
 
     d = tempfile.mkdtemp()
@@ -225,10 +232,14 @@ def bench_train(args, jax, jnp, engine):
     trainer = AlphaZeroTrainer(cfg, log_cb=None)
 
     # warmup iteration compiles everything
-    trainer.train(num_iterations=1)
+    trainer._train_iteration(0, args.batch, 3, [], [])
+    # steady-state iteration (self-play -> buffer -> 10 SGD steps; the
+    # reference's ~300 s/iteration is also a steady-state figure — its
+    # checkpoint lands every 10 iterations, trainer.py:224-232. Round 3
+    # timed train(1), whose terminal final_model checkpoint save dominated
+    # the measurement.)
     t0 = time.perf_counter()
-    trainer.state = trainer.state.replace(iteration=jax.numpy.int32(0))
-    trainer.train(num_iterations=1)
+    trainer._train_iteration(1, args.batch, 3, [], [])
     dt = time.perf_counter() - t0
     return {
         "metric": "train_iteration_seconds",
@@ -239,6 +250,7 @@ def bench_train(args, jax, jnp, engine):
         "episodes": args.batch,
         "num_simulations": args.simulations,
         "model": f"{args.blocks}x{args.filters}",
+        "net_variant": args.net_variant,
     }
 
 
