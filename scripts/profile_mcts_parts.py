@@ -134,10 +134,12 @@ def main():
     t_null = timed("null (per-call overhead)", lambda c, i: c + eps * i, null0)
     overhead[0] = t_null * R
 
-    # 1. select (perturb value_sum so iterations differ)
+    # 1. select — perturb child_value_sum, which _puct_best actually READS
+    # (round-4 fix: perturbing value_sum let XLA hoist the whole dense
+    # PUCT argmax out of the scan, under-reporting select by ~50x)
     def step_select(carry, i):
         t = carry
-        t = t.replace(value_sum=t.value_sum + eps * i)
+        t = t.replace(child_value_sum=t.child_value_sum + eps * i)
         s = mcts._select(t, 1.0)
         # fold the selection back so it's consumed
         return t.replace(visit=t.visit + (s.path_len[:, None] * 0))
