@@ -119,39 +119,12 @@ def train_step(
     """One SGD minibatch step sampled from the buffer (= one reference
     "epoch", trainer.py:283-328). With ``mesh``, the minibatch shards over
     the ``dp`` axis and parameters replicate; XLA inserts the gradient
-    all-reduce."""
-    rng_sample, rng_aug = jax.random.split(rng)
-    feats, pi, v = buffer_lib.sample(buf, rng_sample, engine, batch_size)
-    if mesh is not None:
-        from ..parallel.mesh import replicate, shard_leading
-
-        feats, pi, v = shard_leading((feats, pi, v), mesh)
-        state = replicate(state, mesh)
-
-    if augment:
-        # apply a random D4 symmetry per sample (coverage equivalent to the
-        # reference's intended-but-stubbed 8x expansion, self_play.py:166-212)
-        f8, p8 = engine.symmetries(feats, pi)  # (B, 8, S, S, C), (B, 8, A)
-        which = jax.random.randint(rng_aug, (feats.shape[0],), 0, 8)
-        feats = jnp.take_along_axis(
-            f8, which[:, None, None, None, None], axis=1
-        ).squeeze(1)
-        pi = jnp.take_along_axis(p8, which[:, None, None], axis=1).squeeze(1)
-
-    (total, (pl, vl, new_stats)), grads = jax.value_and_grad(
-        lambda p: loss_fn(model, p, state.batch_stats, feats, pi, v),
-        has_aux=True,
-    )(state.params)
-    updates, opt_state = tx.update(grads, state.opt_state, state.params)
-    params = optax.apply_updates(state.params, updates)
-    new_state = state.replace(
-        params=params,
-        batch_stats=new_stats,
-        opt_state=opt_state,
-        step=state.step + 1,
+    all-reduce. The random D4 symmetry (``augment``) is coverage-equivalent
+    to the reference's intended-but-stubbed 8x expansion
+    (self_play.py:166-212)."""
+    return _train_step_inner(
+        model, engine, tx, state, buf, rng, batch_size, augment, mesh
     )
-    metrics = {"loss": total, "policy_loss": pl, "value_loss": vl}
-    return new_state, metrics
 
 
 @functools.partial(
@@ -214,6 +187,77 @@ def train_step_prioritized(
     )
     buf = buffer_lib.update_priorities(buf, idx, td)
     return new_state, buf, {"loss": total, "policy_loss": pl, "value_loss": vl}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "engine", "tx", "batch_size", "augment",
+                     "mesh", "num_steps"),
+)
+def train_steps(
+    model: OthelloResNet,
+    engine: OthelloEngine,
+    tx: optax.GradientTransformation,
+    state: TrainState,
+    buf: buffer_lib.ReplayBuffer,
+    rng: jax.Array,
+    batch_size: int,
+    num_steps: int,
+    augment: bool = False,
+    mesh=None,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """``num_steps`` SGD minibatch steps scanned inside ONE jit (round 4:
+    the per-step dispatch of the former host loop — 10 dispatches per
+    iteration, each a device round-trip (~ms over the axon tunnel) —
+    dominated the train phase at the default regime). Semantics are the
+    uniform-buffer ``train_step`` repeated; returns per-step stacked
+    metrics. The prioritized variant keeps the host loop (its buffer
+    priority updates thread through each step)."""
+
+    def body(carry, step_rng):
+        st, _ = carry
+        st, metrics = _train_step_inner(
+            model, engine, tx, st, buf, step_rng, batch_size, augment, mesh
+        )
+        return (st, 0), metrics
+
+    keys = jax.random.split(rng, num_steps)
+    (state, _), metrics = jax.lax.scan(body, (state, 0), keys)
+    return state, metrics
+
+
+def _train_step_inner(model, engine, tx, state, buf, rng, batch_size,
+                      augment, mesh):
+    """Shared body of train_step/train_steps (one SGD minibatch step)."""
+    rng_sample, rng_aug = jax.random.split(rng)
+    feats, pi, v = buffer_lib.sample(buf, rng_sample, engine, batch_size)
+    if mesh is not None:
+        from ..parallel.mesh import replicate, shard_leading
+
+        feats, pi, v = shard_leading((feats, pi, v), mesh)
+        state = replicate(state, mesh)
+
+    if augment:
+        f8, p8 = engine.symmetries(feats, pi)
+        which = jax.random.randint(rng_aug, (feats.shape[0],), 0, 8)
+        feats = jnp.take_along_axis(
+            f8, which[:, None, None, None, None], axis=1
+        ).squeeze(1)
+        pi = jnp.take_along_axis(p8, which[:, None, None], axis=1).squeeze(1)
+
+    (total, (pl, vl, new_stats)), grads = jax.value_and_grad(
+        lambda p: loss_fn(model, p, state.batch_stats, feats, pi, v),
+        has_aux=True,
+    )(state.params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    new_state = state.replace(
+        params=params,
+        batch_stats=new_stats,
+        opt_state=opt_state,
+        step=state.step + 1,
+    )
+    return new_state, {"loss": total, "policy_loss": pl, "value_loss": vl}
 
 
 @functools.lru_cache(maxsize=None)
@@ -854,13 +898,15 @@ class AlphaZeroTrainer:
         t1 = time.time()
         losses = []
         if buffer_lib.is_ready(self.buffer, self.batch_size):
-            for _ in range(self.epochs_per_iter):
-                self.rng, sub = jax.random.split(self.rng)
-                if self.distributed:
-                    from ..parallel.mesh import to_global_replicated
+            if self.prioritized:
+                # per-step host loop: the priority updates thread the
+                # buffer through each step
+                for _ in range(self.epochs_per_iter):
+                    self.rng, sub = jax.random.split(self.rng)
+                    if self.distributed:
+                        from ..parallel.mesh import to_global_replicated
 
-                    sub = to_global_replicated(sub, self.mesh)
-                if self.prioritized:
+                        sub = to_global_replicated(sub, self.mesh)
                     self.state, self.buffer, metrics = train_step_prioritized(
                         self.model,
                         self.engine,
@@ -872,19 +918,32 @@ class AlphaZeroTrainer:
                         augment=self.augment,
                         mesh=self.mesh,
                     )
-                else:
-                    self.state, metrics = train_step(
-                        self.model,
-                        self.engine,
-                        self.tx,
-                        self.state,
-                        self.buffer,
-                        sub,
-                        batch_size=self.batch_size,
-                        augment=self.augment,
-                        mesh=self.mesh,
-                    )
-                losses.append(metrics)
+                    losses.append(metrics)
+            else:
+                # all epochs scanned inside ONE jit (round 4): one dispatch
+                # instead of epochs_per_iter device round-trips
+                self.rng, sub = jax.random.split(self.rng)
+                if self.distributed:
+                    from ..parallel.mesh import to_global_replicated
+
+                    sub = to_global_replicated(sub, self.mesh)
+                self.state, stacked = train_steps(
+                    self.model,
+                    self.engine,
+                    self.tx,
+                    self.state,
+                    self.buffer,
+                    sub,
+                    batch_size=self.batch_size,
+                    num_steps=self.epochs_per_iter,
+                    augment=self.augment,
+                    mesh=self.mesh,
+                )
+                stacked = jax.device_get(stacked)
+                losses = [
+                    {k: stacked[k][i] for k in stacked}
+                    for i in range(self.epochs_per_iter)
+                ]
         jax.block_until_ready(self.state.params)
         tr_time = time.time() - t1
 
