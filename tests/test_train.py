@@ -326,6 +326,44 @@ class TestEndToEnd:
         assert losses[-1] < losses[0]
 
 
+def test_train_steps_scan_matches_loop():
+    """The scanned multi-epoch program (round 4: one dispatch instead of
+    epochs_per_iter) must be bit-identical to looping train_step with the
+    same per-step keys."""
+    from othello_reinforcement_learning_test_tpu.train import buffer as buffer_lib
+    from othello_reinforcement_learning_test_tpu.train.trainer import (
+        TrainState, make_optimizer, train_step, train_steps)
+
+    eng = get_engine(4)
+    model = OthelloResNet(num_blocks=1, num_filters=8, board_size=4)
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    cfg = {"training": {"lr": 0.01}}
+    tx = make_optimizer(cfg)
+    state0 = TrainState(
+        params=variables["params"], batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        step=jnp.int32(0), iteration=jnp.int32(0),
+    )
+    buf = buffer_lib.create(64, eng.num_actions)
+    buf = buffer_lib.add(buf, make_traj(40, A=eng.num_actions))
+
+    rng = jax.random.PRNGKey(3)
+    k = 4
+    s_scan, metrics = train_steps(
+        model, eng, tx, state0, buf, rng, batch_size=8, num_steps=k)
+    assert metrics["loss"].shape == (k,)
+
+    s_loop = state0
+    keys = jax.random.split(rng, k)
+    for i in range(k):
+        s_loop, m = train_step(model, eng, tx, s_loop, buf, keys[i],
+                               batch_size=8)
+    for a, b in zip(jax.tree.leaves(s_scan.params),
+                    jax.tree.leaves(s_loop.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(s_scan.step) == k
+
+
 def test_lr_schedule_staircase():
     from othello_reinforcement_learning_test_tpu.train.trainer import make_lr_schedule
 
