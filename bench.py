@@ -290,7 +290,9 @@ def main() -> None:
         args.pallas = jax.devices()[0].platform == "tpu"
     if args.batch is None:
         args.batch = {
-            "random": 1048576 if args.pallas else 262144,
+            # Pallas fused step keeps scaling past 1M lockstep games
+            # (B=4M measures ~+20% games/s over B=1M on v5e)
+            "random": 4194304 if args.pallas else 262144,
             "mcts": 1024,
             "train": 100,
         }[args.mode]
