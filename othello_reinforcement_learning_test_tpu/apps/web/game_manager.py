@@ -213,12 +213,21 @@ class GameManager:
             if os.path.isdir(p) and (
                 os.path.basename(p).startswith("checkpoint_")
                 or os.path.basename(p) == "final_model"
+                # arbitrarily-named orbax checkpoint dirs (e.g. the
+                # committed results/model_* flagships): identified by the
+                # orbax manifest inside or the trainer's sidecars alongside
+                or os.path.exists(os.path.join(p, "_METADATA"))
+                or os.path.exists(os.path.join(p, "manifest.ocdbt"))
+                or os.path.exists(p + ".config.json")
             ):
                 out.append(p)
             elif os.path.isfile(p) and p.endswith((".pt", ".pth")):
                 if _is_state_dict_file(p):
                     out.append(p)
-        return out
+        # drop orbax-internal subdirectories of detected checkpoints
+        # (ocdbt.process_*/ also carries a manifest)
+        return [p for p in out
+                if not any(p != q and p.startswith(q + os.sep) for q in out)]
 
     def execute_ai_move(self) -> Tuple[bool, Optional[str]]:
         """Synchronous AI move (callers may thread it); illegal-action

@@ -128,6 +128,30 @@ def test_models_listing_skips_torchscript(tmp_path):
     assert names == ["weights.pt"]
 
 
+def test_models_listing_finds_named_orbax_dirs(tmp_path):
+    """Arbitrarily-named orbax checkpoint dirs (like the committed
+    results/model_* flagships) must be listed — identified by the orbax
+    manifest inside or the trainer's .config.json sidecar — while
+    orbax-internal subdirectories (ocdbt.process_*) must not leak into
+    the list (round-4 fix, found by driving the web UI against
+    results/)."""
+    from othello_reinforcement_learning_test_tpu.apps.web.game_manager import (
+        GameManager,
+    )
+
+    m = tmp_path / "my_flagship_model"
+    (m / "ocdbt.process_0").mkdir(parents=True)
+    (m / "manifest.ocdbt").write_text("")
+    (m / "ocdbt.process_0" / "manifest.ocdbt").write_text("")
+    side = tmp_path / "sidecar_model"
+    side.mkdir()
+    (tmp_path / "sidecar_model.config.json").write_text("{}")
+    (tmp_path / "random_dir").mkdir()  # neither manifest nor sidecar
+    gm = GameManager(model_dir=str(tmp_path))
+    names = sorted(os.path.basename(p) for p in gm.list_models())
+    assert names == ["my_flagship_model", "sidecar_model"]
+
+
 def test_static_files_served(base_url):
     with urllib.request.urlopen(base_url + "/") as resp:
         html = resp.read().decode()
