@@ -93,7 +93,6 @@ def main():
 
     # stem alone: (B,8,8,3) -> (B,8,8,128) bf16 (XLA conv + folded BN)
     def stem_only(c, i):
-        fused = fi["int8_dx3"]
         params = variables["params"]
         stats = variables["batch_stats"]
         x = c + eps * i.astype(jnp.float32)

@@ -171,6 +171,25 @@ class TestSelfPlay:
         for a, b in zip(traj, traj_fresh):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_root_eval_reuse_bit_identical_with_passes(self):
+        """4x4 games pass frequently, so this pins the root-cache gather
+        through pass-action children (the cached child of action 16) and
+        terminal children, batch-wide."""
+        eng = get_engine(4)
+        model = OthelloResNet(num_blocks=1, num_filters=8, board_size=4)
+        variables = init_variables(model, jax.random.PRNGKey(0))
+        kwargs = dict(num_games=32, num_simulations=3,
+                      temperature_threshold=4)
+        a = play_games(eng, apply_eval(model), variables,
+                       jax.random.PRNGKey(9), reuse_root_eval=True, **kwargs)
+        b = play_games(eng, apply_eval(model), variables,
+                       jax.random.PRNGKey(9), reuse_root_eval=False, **kwargs)
+        # make sure the scenario actually exercises passes
+        assert (np.asarray(a.num_moves) > 2 * 4 * 4 - 4).any() or (
+            np.asarray(a.pi)[..., eng.pass_action] > 0).any()
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
     def test_auto_cond_interval_selection(self):
         """Transport-aware cond_interval default (VERDICT r3 item 4): k=4
         only on multi-process non-TPU transports (where the liveness conds
