@@ -37,6 +37,9 @@ CHECKPOINTS = {
     "net-600iter-gated": "results/model_10x128_600iter_gated",
     "net-1000iter-default": "results/model_10x128_1000iter_default",
     "net-strong500": "results/model_strong_8x8_500iter",
+    # round-4 flagship: the 500iter recipe scaled 2x (1000 iters x 512
+    # games x 64 sims) on the round-4 stack
+    "net-flagship-r4": "results/model_10x128_1000iter_flagship_r4",
 }
 ANCHORS = ["random", "greedy"]
 MINIMAX = {"minimax-d2": 2, "minimax-d4": 4, "minimax-d6": 6}
@@ -229,9 +232,10 @@ def main():
         cheap = [(a, b) for a in mm for b in ANCHORS]
         cheap += [(a, b) for i, a in enumerate(mm) for b in mm[i + 1:]]
         play_phase(cheap, args.games, args.out)
-        # NN connection pairs: every checkpoint vs d4; flagship vs d2/d6
+        # NN connection pairs: every checkpoint vs d4; flagships vs d2/d6
         conn = [(n, "minimax-d4") for n in CHECKPOINTS]
-        conn += [("net-500iter", "minimax-d2"), ("net-500iter", "minimax-d6")]
+        conn += [("net-500iter", "minimax-d2"), ("net-500iter", "minimax-d6"),
+                 ("net-flagship-r4", "minimax-d6")]
         play_phase(conn, args.connect_games, args.out)
     if args.fit:
         fit_and_report(args.out, str(REPO / "results" / "elo_ladder.md"))
