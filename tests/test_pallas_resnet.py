@@ -75,7 +75,7 @@ def test_wide_variant_matches_flax_eval(setup):
 
 @pytest.mark.parametrize("variant", ["int8_xla", "int8", "int8_bf16",
                                      "int8_m9", "int8_patch", "int8_flat",
-                                     "int8_dx3"])
+                                     "int8_dx3", "int8_dxcat"])
 def test_int8_variants_match_flax_eval(setup, variant):
     """Int8 trunk (per-output-channel weight scales, dynamic per-tensor
     activation scales): distributions close to bf16, values within the
