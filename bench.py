@@ -256,8 +256,13 @@ def bench_train(args, jax, jnp, engine):
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--mode", choices=["random", "mcts", "train"],
-                        default="random")
+    parser.add_argument("--mode", choices=["all", "random", "mcts", "train"],
+                        default="all",
+                        help="'all' (default) runs random+mcts+train and "
+                             "emits one combined JSON line so the driver-"
+                             "captured artifact records the real workloads, "
+                             "not just the random-mode toy (round-5 VERDICT "
+                             "item 3)")
     parser.add_argument("--batch", type=int, default=None,
                         help="games in lockstep (defaults per mode)")
     parser.add_argument("--repeats", type=int, default=3)
@@ -286,24 +291,54 @@ def main() -> None:
     )
 
     enable_compilation_cache()
+    on_tpu = jax.devices()[0].platform == "tpu"
     if args.pallas is None:
-        args.pallas = jax.devices()[0].platform == "tpu"
-    if args.batch is None:
-        args.batch = {
-            # Pallas fused step keeps scaling past 1M lockstep games
-            # (B=4M measures ~+20% games/s over B=1M on v5e)
-            "random": 4194304 if args.pallas else 262144,
-            "mcts": 1024,
-            "train": 100,
-        }[args.mode]
+        args.pallas = on_tpu
+    import copy
+
+    def resolve(mode):
+        """Per-mode defaults for batch / net-variant (used by 'all')."""
+        a = copy.copy(args)
+        a.mode = mode
+        if a.batch is None:
+            a.batch = {
+                # Pallas fused step keeps scaling past 1M lockstep games
+                # (B=4M measures ~+20% games/s over B=1M on v5e)
+                "random": 4194304 if a.pallas else 262144,
+                "mcts": 1024,
+                "train": 100,
+            }[mode]
+        return a
+
     import jax.numpy as jnp
 
     from othello_reinforcement_learning_test_tpu.ops.bitboard import get_engine
 
     engine = get_engine(args.size, "reference")
-    out = {"random": bench_random, "mcts": bench_mcts, "train": bench_train}[
-        args.mode
-    ](args, jax, jnp, engine)
+    fns = {"random": bench_random, "mcts": bench_mcts, "train": bench_train}
+    if args.mode == "all":
+        # mcts runs the measured-best inference path for the platform
+        # (int8_dx3 fused Pallas trunk on TPU — 282 g/s at B=1024, see
+        # results/nn_inference_decomposition.md; XLA bf16 elsewhere)
+        # unless the user forced a variant explicitly
+        modes = {}
+        for mode in ("random", "mcts", "train"):
+            a = resolve(mode)
+            if mode == "mcts" and on_tpu and args.net_variant == "xla" \
+                    and "--net-variant" not in sys.argv:
+                a.net_variant = "int8_dx3"
+            modes[mode] = fns[mode](a, jax, jnp, engine)
+        # headline = the real training workload (MCTS self-play games/s);
+        # the per-mode sub-objects carry their own vs_baseline
+        out = {
+            "metric": "alphazero_suite_mcts_games_per_sec",
+            "value": modes["mcts"]["value"],
+            "unit": "games/s",
+            "vs_baseline": modes["mcts"]["vs_baseline"],
+            "modes": modes,
+        }
+    else:
+        out = fns[args.mode](resolve(args.mode), jax, jnp, engine)
     out["device"] = str(jax.devices()[0])
     print(json.dumps(out))
 

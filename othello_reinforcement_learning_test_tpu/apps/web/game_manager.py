@@ -215,10 +215,11 @@ class GameManager:
                 or os.path.basename(p) == "final_model"
                 # arbitrarily-named orbax checkpoint dirs (e.g. the
                 # committed results/model_* flagships): identified by the
-                # orbax manifest inside or the trainer's sidecars alongside
+                # orbax manifest inside. A bare .config.json sidecar with
+                # no orbax data in the directory is NOT listed — selecting
+                # it would only fail later at load time (round-5 fix).
                 or os.path.exists(os.path.join(p, "_METADATA"))
                 or os.path.exists(os.path.join(p, "manifest.ocdbt"))
-                or os.path.exists(p + ".config.json")
             ):
                 out.append(p)
             elif os.path.isfile(p) and p.endswith((".pt", ".pth")):

@@ -122,6 +122,17 @@ def play_games(
     results/multihost_scaling.md; on ICI the conds are us-cheap and k=1 is
     fine.
     """
+    # Root-eval reuse relies on the sampled action's child being expanded,
+    # which only holds when at least one simulation ran (the -inf masking in
+    # the action sampler then can't pick an unvisited action). With 0 sims
+    # the sampler falls back to uniform-over-legal and extract_root_cache
+    # would return a zeroed cache that poisons every later search — so the
+    # invariant is enforced here rather than assumed (round-5 ADVICE fix).
+    if num_simulations < 1:
+        raise ValueError(
+            f"play_games requires num_simulations >= 1 (got {num_simulations}); "
+            "root-eval reuse depends on the chosen action's child being expanded"
+        )
     B = num_games
     net = lambda x: apply_fn(variables, x)  # noqa: E731
     T = max_game_length(engine.size)

@@ -56,11 +56,20 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_lr_schedule(config: Dict) -> optax.Schedule:
-    """StepLR staircase over optimizer steps: decay by ``lr_gamma`` every
-    ``lr_step_size`` *iterations* (each iteration = train_epochs_per_iter
-    optimizer steps)."""
+    """LR schedule over optimizer steps, selected by ``training.lr_schedule``:
+
+    - ``"step"`` (default): StepLR staircase — decay by ``lr_gamma`` every
+      ``lr_step_size`` *iterations* (each iteration = train_epochs_per_iter
+      optimizer steps). This is the reference's *declared* intent.
+    - ``"constant"``: no decay — the reference's *actual* behavior: it
+      constructs StepLR but never calls ``scheduler.step()``
+      (/root/reference/src/train/trainer.py:63-76), so its canonical
+      ``default_8x8.yaml`` run trains at a constant lr the whole way.
+    """
     tc = config.get("training", {})
     lr = float(tc.get("lr", 1e-3))
+    if str(tc.get("lr_schedule", "step")) == "constant":
+        return optax.constant_schedule(lr)
     gamma = float(tc.get("lr_gamma", 0.1))
     step_size = int(tc.get("lr_step_size", 100))
     epochs_per_iter = max(int(tc.get("train_epochs_per_iter", 10)), 1)

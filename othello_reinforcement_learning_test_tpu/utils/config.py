@@ -22,6 +22,11 @@ DEFAULTS: Dict[str, Dict[str, Any]] = {
     "training": {
         "batch_size": 256,
         "lr": 0.001,
+        # "step" = decay by lr_gamma every lr_step_size iterations (the
+        # reference's *declared* StepLR intent); "constant" = no decay — the
+        # reference's *actual* behavior, since it constructs StepLR but never
+        # calls scheduler.step() (/root/reference/src/train/trainer.py:63-76).
+        "lr_schedule": "step",
         "lr_step_size": 100,
         "lr_gamma": 0.1,
         "weight_decay": 0.0001,
@@ -148,6 +153,8 @@ def _validate(cfg: Dict) -> None:
             raise ValueError(f"training.{key} must be positive, got {t[key]}")
     if not (0.0 < float(t["lr"])):
         raise ValueError("training.lr must be > 0")
+    if t.get("lr_schedule", "step") not in ("step", "constant"):
+        raise ValueError("training.lr_schedule must be 'step' or 'constant'")
     gating = t.get("gating") or {}
     if not isinstance(gating, dict):
         raise ValueError(

@@ -41,8 +41,25 @@ CHECKPOINTS = {
     # games x 64 sims) on the round-4 stack
     "net-flagship-r4": "results/model_10x128_1000iter_flagship_r4",
 }
+# matched-budget parity finals (round-3/4 parity study, 4 blocks x 32
+# filters x 40 iterations): the reference's own trained checkpoints imported
+# over the .pt bridge + the repo's finals exported to the same format —
+# putting "repo vs reference at matched budget" on this one scale
+# (VERDICT r4 item 6). Artifacts: results/parity_models/, provenance in
+# results/reference_parity.md.
+PARITY_SEEDS = (7, 77, 99, 2024)
+PARITY = {}
+for _s in PARITY_SEEDS:
+    PARITY[f"ref-parity-s{_s}"] = f"results/parity_models/ref_seed{_s}.pt"
+    PARITY[f"repo-parity-s{_s}"] = f"results/parity_models/repo_seed{_s}.pt"
 ANCHORS = ["random", "greedy"]
-MINIMAX = {"minimax-d2": 2, "minimax-d4": 4, "minimax-d6": 6}
+# d8 added round 5 so the top of the scale is anchored, not extrapolated
+# (the strongest round-4 anchor, d6, sat ~300 Elo below the ladder top)
+MINIMAX = {"minimax-d2": 2, "minimax-d4": 4, "minimax-d6": 6,
+           "minimax-d8": 8}
+# top-subgraph replay (round 5): enough games/pair that adjacent rows
+# separate at 95% or declare a tie with CI half-width <= 40
+TOP = ["net-flagship-r4", "net-500iter", "net-600iter-gated"]
 SIMS = 100
 ELO_PER_NAT = 400.0 / 2.302585092994046  # natural rating -> Elo points
 
@@ -72,8 +89,9 @@ def make_player(name, engine):
     if name in MINIMAX:
         return NativeMinimaxPlayer(engine, depth=MINIMAX[name],
                                    exact_empties=10)
+    path = CHECKPOINTS.get(name) or PARITY[name]
     return MCTSPlayer.from_checkpoint(
-        str(REPO / CHECKPOINTS[name]), engine=engine, num_simulations=SIMS)
+        str(REPO / path), engine=engine, num_simulations=SIMS)
 
 
 def play_phase(pairs, games, out_path):
@@ -113,22 +131,31 @@ def play_phase(pairs, games, out_path):
             json.dump(results, f, indent=1)
 
 
-def bt_fit(pairs, names, anchor="random", iters=400, lr=0.5):
-    """Anchored Bradley-Terry MLE on game scores (draw = 0.5) by gradient
-    ascent; returns natural-log ratings with anchor pinned at 0."""
+def bt_fit(pairs, names, anchor="random", iters=5000, lr=0.5,
+           prior_draws=1.0, tol=1e-6):
+    """Anchored Bradley-Terry fit on game scores (draw = 0.5) by gradient
+    ascent; returns natural-log ratings with anchor pinned at 0.
+
+    ``prior_draws`` adds that many pseudo-draws to every observed pair
+    (half a win each way). Without it the MLE is unbounded for undefeated
+    players (several pairs here are 100-0), and the reported gaps/CIs would
+    be an artifact of the iteration cap rather than the data (round-5
+    ADVICE fix). Iterates to convergence (max |gradient|/games < ``tol``)
+    instead of a fixed count; raises if the cap is hit unconverged."""
     import numpy as np
 
     idx = {n: i for i, n in enumerate(names)}
     r = np.zeros(len(names))
-    # per-pair aggregated (score_a, n)
+    # per-pair aggregated (score_a, n), regularized with the draw prior
     rows = []
     for key, p in pairs.items():
         a, b = key.split("|")
         if a not in idx or b not in idx:
             continue
-        score_a = p["wins_a"] + 0.5 * p["draws"]
-        rows.append((idx[a], idx[b], score_a, p["n"]))
-    for _ in range(iters):
+        score_a = p["wins_a"] + 0.5 * p["draws"] + 0.5 * prior_draws
+        rows.append((idx[a], idx[b], score_a, p["n"] + prior_draws))
+    total_games = sum(n for *_, n in rows)
+    for it in range(iters):
         g = np.zeros(len(names))
         for ia, ib, sa, n in rows:
             e = 1.0 / (1.0 + np.exp(-(r[ia] - r[ib])))
@@ -136,6 +163,12 @@ def bt_fit(pairs, names, anchor="random", iters=400, lr=0.5):
             g[ib] -= sa - n * e
         r += lr * g / max(1, len(rows))
         r -= r[idx[anchor]]
+        if np.abs(g).max() / max(total_games, 1) < tol:
+            break
+    else:
+        raise RuntimeError(
+            f"bt_fit did not converge in {iters} iterations "
+            f"(max |grad|/games = {np.abs(g).max() / max(total_games, 1):.2e})")
     return r, idx, rows
 
 
@@ -206,7 +239,8 @@ def fit_and_report(out_path, md_path):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--phase", choices=["tpu", "cpu"], default=None)
+    ap.add_argument("--phase",
+                    choices=["tpu", "cpu", "top", "parity"], default=None)
     ap.add_argument("--fit", action="store_true")
     ap.add_argument("--games", type=int, default=60)
     ap.add_argument("--connect-games", type=int, default=24,
@@ -227,15 +261,27 @@ def main():
         fast = ANCHORS + list(CHECKPOINTS)
         pairs = [(a, b) for i, a in enumerate(fast) for b in fast[i + 1:]]
         play_phase(pairs, args.games, args.out)
+    elif args.phase == "top":
+        # round-5 separation replay: the adjacent-top pairs at high n
+        pairs = [(a, b) for i, a in enumerate(TOP) for b in TOP[i + 1:]]
+        play_phase(pairs, args.games, args.out)
+    elif args.phase == "parity":
+        # matched-budget parity finals: head-to-head per seed + anchors
+        pairs = [(f"ref-parity-s{s}", f"repo-parity-s{s}")
+                 for s in PARITY_SEEDS]
+        pairs += [(n, a) for n in PARITY for a in ANCHORS]
+        play_phase(pairs, args.games, args.out)
     elif args.phase == "cpu":
         mm = list(MINIMAX)
         cheap = [(a, b) for a in mm for b in ANCHORS]
         cheap += [(a, b) for i, a in enumerate(mm) for b in mm[i + 1:]]
         play_phase(cheap, args.games, args.out)
-        # NN connection pairs: every checkpoint vs d4; flagships vs d2/d6
+        # NN connection pairs: every checkpoint vs d4; flagships vs d2/d6/d8
         conn = [(n, "minimax-d4") for n in CHECKPOINTS]
         conn += [("net-500iter", "minimax-d2"), ("net-500iter", "minimax-d6"),
-                 ("net-flagship-r4", "minimax-d6")]
+                 ("net-flagship-r4", "minimax-d6"),
+                 ("net-flagship-r4", "minimax-d8"),
+                 ("net-500iter", "minimax-d8")]
         play_phase(conn, args.connect_games, args.out)
     if args.fit:
         fit_and_report(args.out, str(REPO / "results" / "elo_ladder.md"))

@@ -395,6 +395,29 @@ def test_lr_schedule_staircase():
     np.testing.assert_allclose(float(sched(6)), 0.01, rtol=1e-6)
 
 
+def test_lr_schedule_constant():
+    """training.lr_schedule: constant reproduces the reference's ACTUAL
+    behavior — it builds StepLR but never steps it
+    (/root/reference/src/train/trainer.py:63-76), so lr never decays."""
+    from othello_reinforcement_learning_test_tpu.train.trainer import make_lr_schedule
+
+    sched = make_lr_schedule(
+        {"training": {"lr": 0.1, "lr_schedule": "constant", "lr_gamma": 0.1,
+                      "lr_step_size": 2, "train_epochs_per_iter": 3}}
+    )
+    for step in (0, 6, 600, 10_000):
+        np.testing.assert_allclose(float(sched(step)), 0.1)
+
+    from othello_reinforcement_learning_test_tpu.utils.config import load_config
+
+    with pytest.raises(ValueError, match="lr_schedule"):
+        cfg = load_config()
+        cfg["training"]["lr_schedule"] = "cosine"
+        from othello_reinforcement_learning_test_tpu.utils.config import _validate
+
+        _validate(cfg)
+
+
 def test_config_loader_warns_unknown(tmp_path):
     import warnings
 

@@ -131,10 +131,11 @@ def test_models_listing_skips_torchscript(tmp_path):
 def test_models_listing_finds_named_orbax_dirs(tmp_path):
     """Arbitrarily-named orbax checkpoint dirs (like the committed
     results/model_* flagships) must be listed — identified by the orbax
-    manifest inside or the trainer's .config.json sidecar — while
-    orbax-internal subdirectories (ocdbt.process_*) must not leak into
-    the list (round-4 fix, found by driving the web UI against
-    results/)."""
+    manifest inside — while orbax-internal subdirectories
+    (ocdbt.process_*) must not leak into the list (round-4 fix, found by
+    driving the web UI against results/). A directory with only a
+    .config.json sidecar and NO orbax data must NOT be listed: selecting
+    it in the UI could only fail at load time (round-5 ADVICE fix)."""
     from othello_reinforcement_learning_test_tpu.apps.web.game_manager import (
         GameManager,
     )
@@ -143,13 +144,13 @@ def test_models_listing_finds_named_orbax_dirs(tmp_path):
     (m / "ocdbt.process_0").mkdir(parents=True)
     (m / "manifest.ocdbt").write_text("")
     (m / "ocdbt.process_0" / "manifest.ocdbt").write_text("")
-    side = tmp_path / "sidecar_model"
+    side = tmp_path / "sidecar_model"  # sidecar but no orbax data inside
     side.mkdir()
     (tmp_path / "sidecar_model.config.json").write_text("{}")
     (tmp_path / "random_dir").mkdir()  # neither manifest nor sidecar
     gm = GameManager(model_dir=str(tmp_path))
     names = sorted(os.path.basename(p) for p in gm.list_models())
-    assert names == ["my_flagship_model", "sidecar_model"]
+    assert names == ["my_flagship_model"]
 
 
 def test_static_files_served(base_url):
