@@ -36,6 +36,11 @@ CHECKPOINTS = {
     "net-500iter": "results/model_10x128_500iter",
     "net-600iter-gated": "results/model_10x128_600iter_gated",
     "net-1000iter-default": "results/model_10x128_1000iter_default",
+    # round-5: the same canonical default_8x8 regime with
+    # lr_schedule: constant — the reference's ACTUAL LR behavior (it never
+    # steps its StepLR scheduler), isolating the schedule divergence
+    "net-1000iter-default-constlr":
+        "results/model_10x128_1000iter_default_constlr",
     "net-strong500": "results/model_strong_8x8_500iter",
     # round-4 flagship: the 500iter recipe scaled 2x (1000 iters x 512
     # games x 64 sims) on the round-4 stack
@@ -127,8 +132,14 @@ def play_phase(pairs, games, out_path):
         }
         print(f"{key}: {s.wins}W-{s.losses}L-{s.draws}D "
               f"[{results['pairs'][key]['wall_s']}s]", flush=True)
+        # merge-on-save: reload before writing so two phases running
+        # concurrently (e.g. a long CPU phase + a quick TPU phase) don't
+        # clobber each other's freshly played pairs
+        cur = load_results(out_path)
+        cur["pairs"].update(results["pairs"])
+        results["pairs"] = cur["pairs"]
         with open(out_path, "w") as f:
-            json.dump(results, f, indent=1)
+            json.dump(cur, f, indent=1)
 
 
 def bt_fit(pairs, names, anchor="random", iters=5000, lr=0.5,
@@ -145,7 +156,6 @@ def bt_fit(pairs, names, anchor="random", iters=5000, lr=0.5,
     import numpy as np
 
     idx = {n: i for i, n in enumerate(names)}
-    r = np.zeros(len(names))
     # per-pair aggregated (score_a, n), regularized with the draw prior
     rows = []
     for key, p in pairs.items():
@@ -154,21 +164,34 @@ def bt_fit(pairs, names, anchor="random", iters=5000, lr=0.5,
             continue
         score_a = p["wins_a"] + 0.5 * p["draws"] + 0.5 * prior_draws
         rows.append((idx[a], idx[b], score_a, p["n"] + prior_draws))
-    total_games = sum(n for *_, n in rows)
+    # Zermelo/MM iteration in strength space (w = e^r): monotone in the
+    # likelihood and converges orders of magnitude faster than gradient
+    # ascent on this graph. w_i <- S_i / sum_j n_ij / (w_i + w_j), where
+    # S_i is i's total (prior-regularized) score — well-defined because the
+    # draw prior keeps every S_i strictly inside (0, n_i).
+    w = np.ones(len(names))
+    score = np.zeros(len(names))
+    for ia, ib, sa, n in rows:
+        score[ia] += sa
+        score[ib] += n - sa
     for it in range(iters):
-        g = np.zeros(len(names))
+        denom = np.zeros(len(names))
         for ia, ib, sa, n in rows:
-            e = 1.0 / (1.0 + np.exp(-(r[ia] - r[ib])))
-            g[ia] += sa - n * e
-            g[ib] -= sa - n * e
-        r += lr * g / max(1, len(rows))
-        r -= r[idx[anchor]]
-        if np.abs(g).max() / max(total_games, 1) < tol:
+            d = n / (w[ia] + w[ib])
+            denom[ia] += d
+            denom[ib] += d
+        w_new = score / np.maximum(denom, 1e-300)
+        w_new /= w_new[idx[anchor]]
+        delta = np.abs(np.log(w_new) - np.log(w)).max()
+        w = w_new
+        if delta < tol:
             break
     else:
         raise RuntimeError(
             f"bt_fit did not converge in {iters} iterations "
-            f"(max |grad|/games = {np.abs(g).max() / max(total_games, 1):.2e})")
+            f"(last max |delta log-strength| = {delta:.2e})")
+    r = np.log(w)
+    r -= r[idx[anchor]]
     return r, idx, rows
 
 
@@ -246,13 +269,19 @@ def main():
     ap.add_argument("--connect-games", type=int, default=24,
                     help="games per NN-vs-minimax pair (CPU-bound)")
     ap.add_argument("--out", default=str(REPO / "results" / "elo_ladder.json"))
+    ap.add_argument("--platform", choices=["cpu", "tpu"], default=None,
+                    help="force a JAX platform (default: cpu for the "
+                         "cpu/parity phases, the image default otherwise)")
     args = ap.parse_args()
 
-    if args.phase == "cpu":
+    if args.platform == "cpu" or (
+            args.platform is None and args.phase in ("cpu", "parity")):
         # FORCE cpu via jax.config (env vars cannot override this image's
         # sitecustomize, which registers the axon platform at interpreter
         # start — see tests/conftest.py); host-callback players cannot
-        # compile over the axon TPU tunnel
+        # compile over the axon TPU tunnel. The parity phase defaults to
+        # cpu too: its 4x32 models are light and this keeps the chip free
+        # for training runs.
         import jax
 
         jax.config.update("jax_platforms", "cpu")
