@@ -224,6 +224,16 @@ def fit_and_report(out_path, md_path):
         ((n, r[idx[n]] * ELO_PER_NAT, lo[idx[n]] * ELO_PER_NAT,
           hi[idx[n]] * ELO_PER_NAT) for n in names),
         key=lambda t: -t[1])
+
+    # adjacent-row separation: per-player CIs are correlated (every
+    # bootstrap refit moves the whole scale), so separation is judged on
+    # the paired bootstrap of the rating DIFFERENCE, not on CI overlap
+    sep = []
+    for (na, ea, *_), (nb, eb, *_) in zip(table, table[1:]):
+        d = (boots[:, idx[na]] - boots[:, idx[nb]]) * ELO_PER_NAT
+        dlo, dhi = np.percentile(d, 2.5), np.percentile(d, 97.5)
+        sep.append((na, nb, ea - eb, dlo, dhi,
+                    "separated" if dlo > 0 else "tied"))
     results["ratings"] = {
         n: {"elo_vs_random": round(e, 1),
             "ci95": [round(a, 1), round(b, 1)]}
@@ -250,9 +260,24 @@ def fit_and_report(out_path, md_path):
         lines.append(f"| {n} | {e:+.0f} | [{a:+.0f}, {b:+.0f}] |")
     lines += [
         "",
-        "NN-vs-minimax connection pairs use fewer games (CPU-bound:",
-        "host-callback players cannot compile over the axon TPU tunnel),",
-        "which widens the minimax CIs; the NN-only subgraph is dense.",
+        "Adjacent-row separation (paired bootstrap of the rating",
+        "difference — per-player CIs are correlated, so CI overlap is NOT",
+        "the separation test):",
+        "",
+        "| pair | ΔElo | 95% CI of Δ | verdict |",
+        "|---|---|---|---|",
+    ]
+    for na, nb, de, dlo, dhi, verdict in sep:
+        lines.append(
+            f"| {na} − {nb} | {de:+.0f} | [{dlo:+.0f}, {dhi:+.0f}] "
+            f"| {verdict} |")
+    lines += [
+        "",
+        "Fit: Zermelo/MM with a 1-pseudo-draw-per-pair prior (without it",
+        "the MLE is unbounded for undefeated players; the prior shrinks",
+        "all ratings slightly toward their opponents). NN-vs-minimax",
+        "connection pairs run on the CPU backend (host-callback players",
+        "cannot compile over the axon TPU tunnel).",
         "",
     ]
     Path(md_path).write_text("\n".join(lines))
