@@ -45,6 +45,10 @@ CHECKPOINTS = {
     # round-4 flagship: the 500iter recipe scaled 2x (1000 iters x 512
     # games x 64 sims) on the round-4 stack
     "net-flagship-r4": "results/model_10x128_1000iter_flagship_r4",
+    # round-5 ablation: the 500iter recipe with prioritized replay ON,
+    # everything else (incl. seed) identical to net-500iter — the
+    # controlled pair for VERDICT r4 item 5
+    "net-500iter-prioritized": "results/model_10x128_500iter_prioritized",
 }
 # matched-budget parity finals (round-3/4 parity study, 4 blocks x 32
 # filters x 40 iterations): the reference's own trained checkpoints imported
