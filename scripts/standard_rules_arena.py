@@ -33,8 +33,8 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 CHECKPOINTS = {
-    "sym-base": "data/models/tpu12_500iter_symbase/final_model",
-    "sym-aug": "data/models/tpu12_500iter_symaug/final_model",
+    "sym-base": "results/model_10x128_500iter_symbase",
+    "sym-aug": "results/model_10x128_500iter_symaug",
 }
 MINIMAX = {"minimax-d2": 2, "minimax-d4": 4, "minimax-d6": 6}
 SIMS = 100
