@@ -49,6 +49,9 @@ CHECKPOINTS = {
     # everything else (incl. seed) identical to net-500iter — the
     # controlled pair for VERDICT r4 item 5
     "net-500iter-prioritized": "results/model_10x128_500iter_prioritized",
+    # round-5 flagship: the r4 recipe scaled to 1024 games/iteration
+    # (1000 iters x 1024 games x 64 sims, buffer 800k, 24 SGD steps/iter)
+    "net-flagship-r5": "results/model_10x128_1000iter_flagship_r5",
 }
 # matched-budget parity finals (round-3/4 parity study, 4 blocks x 32
 # filters x 40 iterations): the reference's own trained checkpoints imported
@@ -68,7 +71,8 @@ MINIMAX = {"minimax-d2": 2, "minimax-d4": 4, "minimax-d6": 6,
            "minimax-d8": 8}
 # top-subgraph replay (round 5): enough games/pair that adjacent rows
 # separate at 95% or declare a tie with CI half-width <= 40
-TOP = ["net-flagship-r4", "net-500iter", "net-600iter-gated"]
+TOP = ["net-flagship-r5", "net-flagship-r4", "net-500iter",
+       "net-600iter-gated"]
 SIMS = 100
 ELO_PER_NAT = 400.0 / 2.302585092994046  # natural rating -> Elo points
 
