@@ -283,8 +283,31 @@ def main() -> None:
     args = parser.parse_args()
     import jax
 
+    tpu_probe = None
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    else:
+        # The tunneled TPU plugin in this image hangs INDEFINITELY (no
+        # exception) when the tunnel is down, which would wedge the whole
+        # bench at jax.devices(). Probe the default backend in a throwaway
+        # subprocess with a hard timeout; on failure fall back to CPU so
+        # the bench always emits its JSON line (device field says which).
+        import subprocess
+
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True, timeout=120,
+            )
+            ok = probe.returncode == 0 and probe.stdout.strip()
+            tpu_probe = probe.stdout.strip() if ok else "init-failed"
+        except subprocess.TimeoutExpired:
+            tpu_probe = "timeout"
+        if tpu_probe in ("timeout", "init-failed"):
+            print(f"default-backend probe {tpu_probe}; falling back to cpu",
+                  file=sys.stderr)
+            jax.config.update("jax_platforms", "cpu")
 
     from othello_reinforcement_learning_test_tpu.utils import (
         enable_compilation_cache,
